@@ -1,0 +1,107 @@
+"""Benchmark: seams/sec/chip at 2048x2048, 100-seam removal (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "seams/s", "vs_baseline": N}
+
+- value: seams/sec on the default backend (the real TPU chip under the
+  driver; falls back to whatever backend is available).
+- vs_baseline: ratio to the single-core C++ reference carver
+  (native/lqr_ref.cpp — the liblqr stand-in; liblqr itself is not
+  installable here, see SPEC.md). BASELINE.md's north star is >= 50x.
+
+Also verifies correctness en passant: the TPU visibility map of the first
+K seams must equal the C++ reference's bit-for-bit.
+
+Usage: python bench.py [--size 2048] [--seams 100] [--ref-seams 12]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_test_image(n: int, seed: int = 0) -> np.ndarray:
+    """Smooth structured test image (pure noise has degenerate seams)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (n, n, 3)).astype(np.float32)
+    for _ in range(3):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+               + np.roll(img, -1, 0) + np.roll(img, -1, 1)) / 5.0
+    yy, xx = np.mgrid[0:n, 0:n]
+    img[:, :, 0] += 60 * np.sin(xx / 37.0) + 40 * np.cos(yy / 53.0)
+    img[:, :, 1] += 50 * np.cos((xx + yy) / 41.0)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--seams", type=int, default=100)
+    ap.add_argument("--ref-seams", type=int, default=12,
+                    help="seams timed on the single-core C++ baseline "
+                         "(scaled; full 100 would take minutes)")
+    ap.add_argument("--check-seams", type=int, default=6,
+                    help="seams cross-checked bit-exact vs the C++ ref")
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from lqr_tpu.core.state import EngineConfig, init_state, round_up
+    from lqr_tpu.core.engine import extend_map
+    from lqr_tpu import native
+
+    n = args.size
+    img = make_test_image(n)
+
+    backend = jax.default_backend()
+    use_pallas = (backend == "tpu") and not args.no_pallas
+    cfg = EngineConfig(H=n, Wb=round_up(n, 128), C=3,
+                       use_pallas=use_pallas)
+
+    # --- correctness cross-check (small depth, bit-exact)
+    st0 = init_state(cfg, img)
+    stc = extend_map(cfg, st0, jnp.int32(args.check_seams))
+    vs_dev = np.asarray(jax.device_get(stc.vs))[:, :n]
+    vs_ref = native.carve(img, args.check_seams)
+    exact = bool(np.array_equal(vs_dev, vs_ref))
+    max_seam_dev = None
+    if not exact:
+        # quantify: fraction of differing entries
+        max_seam_dev = float((vs_dev != vs_ref).mean())
+
+    # --- device timing: warmup (compile) + timed run
+    st = init_state(cfg, img)
+    st = extend_map(cfg, st, jnp.int32(1))       # compile + 1 seam
+    jax.block_until_ready(st.vs)
+    st = init_state(cfg, img)
+    t0 = time.perf_counter()
+    st = extend_map(cfg, st, jnp.int32(args.seams))
+    jax.block_until_ready(st.vs)
+    t1 = time.perf_counter()
+    dev_sps = args.seams / (t1 - t0)
+
+    # --- CPU single-core baseline (C++ reference, the liblqr stand-in)
+    ref_t = native.bench(img, args.ref_seams)
+    cpu_sps = args.ref_seams / ref_t
+
+    result = {
+        "metric": f"seams_per_sec_{n}x{n}_remove{args.seams}",
+        "value": round(dev_sps, 3),
+        "unit": "seams/s",
+        "vs_baseline": round(dev_sps / cpu_sps, 2),
+        "backend": backend,
+        "pallas": use_pallas,
+        "cpu_singlecore_seams_per_sec": round(cpu_sps, 3),
+        "bit_exact_vs_ref": exact,
+        **({"mismatch_frac": max_seam_dev} if max_seam_dev else {}),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""Batch command line — the batch-gimp-lqr script family replacement.
+
+Mirrors the full parameter surface of ``batch-gimp-lqr-full``
+(/root/reference/batch/batch-gimp-lqr.scm:68-132, registration 199-289):
+load file -> configure -> noninteractive liquid rescale -> save, with the
+same defaults as the plugin (/root/reference/src/main.c:62-87). Masks are
+given as separate image files (the GIMP-layer equivalent), optionally with
+offsets.
+
+Examples:
+
+    python -m lqr_tpu.cli in.png 400 300 -o out.png
+    python -m lqr_tpu.cli in.png 400 300 --disc dmask.png --seams \
+        --output-target new-image -o out.png
+    python -m lqr_tpu.cli frames/*.png 400 300 --gap-width 500 \
+        --gap-height 300 --outdir out/   # GAP-style animation schedule
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
+                     OutputTarget, ScalebackMode)
+from .image_model import Image, Layer
+from .render import init_carver, render_noninteractive
+from .gap import schedule
+from .utils.image_io import load_image, save_image
+
+_NRG = {"grad_xabs": EnergyFunc.GRAD_XABS,
+        "grad_sumabs": EnergyFunc.GRAD_SUMABS,
+        "grad_norm": EnergyFunc.GRAD_NORM,
+        "luma_grad_xabs": EnergyFunc.LUMA_GRAD_XABS,
+        "luma_grad_sumabs": EnergyFunc.LUMA_GRAD_SUMABS,
+        "luma_grad_norm": EnergyFunc.LUMA_GRAD_NORM,
+        "null": EnergyFunc.NULL}
+_TARGET = {"same": OutputTarget.SAME_LAYER,
+           "new-layer": OutputTarget.NEW_LAYER,
+           "new-image": OutputTarget.NEW_IMAGE}
+_SB = {"lqrback": ScalebackMode.LQRBACK, "std": ScalebackMode.STD,
+       "stdw": ScalebackMode.STDW, "stdh": ScalebackMode.STDH}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lqr_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("input", nargs="+", help="input image file(s)")
+    p.add_argument("width", type=int, help="final width")
+    p.add_argument("height", type=int, help="final height")
+    p.add_argument("-o", "--output", help="output file (single input)")
+    p.add_argument("--outdir", help="output directory (multiple inputs)")
+    p.add_argument("--pres", help="preservation mask image file")
+    p.add_argument("--pres-coeff", type=int, default=1000)
+    p.add_argument("--pres-offset", default="0,0", metavar="X,Y")
+    p.add_argument("--disc", help="discard mask image file")
+    p.add_argument("--disc-coeff", type=int, default=1000)
+    p.add_argument("--disc-offset", default="0,0", metavar="X,Y")
+    p.add_argument("--rigmask", help="rigidity mask image file")
+    p.add_argument("--rigmask-offset", default="0,0", metavar="X,Y")
+    p.add_argument("--rigidity", type=float, default=0.0)
+    p.add_argument("--delta-x", type=int, default=1)
+    p.add_argument("--enl-step", type=float, default=150.0,
+                   help="max enlargement per step, percent (default 150)")
+    p.add_argument("--no-resize-aux", action="store_true")
+    p.add_argument("--no-resize-canvas", action="store_true")
+    p.add_argument("--output-target", choices=_TARGET, default="same")
+    p.add_argument("--seams", action="store_true",
+                   help="output the seam map(s)")
+    p.add_argument("--seam-colors", default="1,0,0,0.2,0,0",
+                   metavar="R1,G1,B1,R2,G2,B2")
+    p.add_argument("--nrg", choices=_NRG, default="grad_xabs")
+    p.add_argument("--res-order", choices=["hor", "vert"], default="hor")
+    p.add_argument("--scaleback", action="store_true")
+    p.add_argument("--scaleback-mode", choices=_SB, default="lqrback")
+    p.add_argument("--disc-on-enlarge", action="store_true",
+                   help="do NOT ignore the discard mask when enlarging")
+    p.add_argument("--gap-width", type=int,
+                   help="animate: width keyframe for the last frame")
+    p.add_argument("--gap-height", type=int,
+                   help="animate: height keyframe for the last frame")
+    p.add_argument("--cpu", action="store_true",
+                   help="force pure-JAX (no Pallas) path")
+    return p
+
+
+def _xy(s: str) -> tuple[int, int]:
+    x, y = s.split(",")
+    return int(x), int(y)
+
+
+def config_from_args(args) -> LqrConfig:
+    return LqrConfig(
+        new_width=args.width, new_height=args.height,
+        pres_layer="__pres" if args.pres else "",
+        pres_coeff=args.pres_coeff,
+        disc_layer="__disc" if args.disc else "",
+        disc_coeff=args.disc_coeff,
+        rigidity=args.rigidity,
+        rigmask_layer="__rigmask" if args.rigmask else "",
+        delta_x=args.delta_x,
+        enl_step=args.enl_step / 100.0,
+        resize_aux_layers=not args.no_resize_aux,
+        resize_canvas=not args.no_resize_canvas,
+        output_target=_TARGET[args.output_target],
+        output_seams=args.seams,
+        nrg_func=_NRG[args.nrg],
+        res_order=(ResizeOrder.HOR if args.res_order == "hor"
+                   else ResizeOrder.VERT),
+        scaleback=args.scaleback,
+        scaleback_mode=_SB[args.scaleback_mode],
+        no_disc_on_enlarge=not args.disc_on_enlarge,
+    )
+
+
+def _build_image(path: str, args) -> Image:
+    img = Image.from_array(load_image(path))
+    for flag, name, off in (("pres", "__pres", args.pres_offset),
+                            ("disc", "__disc", args.disc_offset),
+                            ("rigmask", "__rigmask", args.rigmask_offset)):
+        f = getattr(args, flag)
+        if f:
+            x, y = _xy(off)
+            img.add_layer(Layer(name, load_image(f), x_off=x, y_off=y,
+                                visible=False))
+    return img
+
+
+def _out_path(inp: str, args, i: int, n: int) -> str:
+    if args.output and n == 1:
+        return args.output
+    base = os.path.basename(inp)
+    stem, ext = os.path.splitext(base)
+    outdir = args.outdir or os.path.dirname(inp) or "."
+    os.makedirs(outdir, exist_ok=True)
+    return os.path.join(outdir, f"{stem}_lqr{ext or '.png'}")
+
+
+def _colors(args) -> SeamColors:
+    v = [float(x) for x in args.seam_colors.split(",")]
+    return SeamColors(*v)
+
+
+def run_one(path: str, cfg: LqrConfig, args, out_path: str):
+    image = _build_image(path, args)
+    cd = init_carver(image, cfg,
+                     use_pallas=False if args.cpu else None)
+    ok = render_noninteractive(cfg, _colors(args), cd)
+    if not ok:
+        raise RuntimeError(f"render failed for {path}")
+    if cfg.output_seams or cfg.output_target != OutputTarget.SAME_LAYER:
+        out = cd.image.flatten_visible()
+    else:
+        out = cd.image.layer_by_name(cd.layer_name).pixels
+    save_image(out_path, out)
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    inputs = args.input
+    if args.gap_width or args.gap_height:
+        # GAP-style animation: interpolate configs across the input frames
+        cfg_to = cfg.replace(new_width=args.gap_width or cfg.new_width,
+                             new_height=args.gap_height or cfg.new_height)
+        cfgs = list(schedule(cfg, cfg_to, len(inputs)))
+    else:
+        cfgs = [cfg] * len(inputs)
+    for i, (path, c) in enumerate(zip(inputs, cfgs)):
+        outp = _out_path(path, args, i, len(inputs))
+        run_one(path, c, args, outp)
+        print(f"{path} -> {outp} ({c.new_width}x{c.new_height})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

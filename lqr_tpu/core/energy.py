@@ -1,0 +1,89 @@
+"""Energy functions (SPEC.md §1-§2) as fused JAX element-wise pipelines.
+
+Replaces liblqr's builtin energy functions
+(``lqr_carver_set_energy_function_builtin``, call site
+/root/reference/src/render.c:234; semantics /root/reference/help/en/index.wiki:85).
+
+All ops are element-wise f32 with a pinned evaluation order so that results
+are bit-identical to the NumPy oracle (lqr_tpu/oracle.py) and the C++
+reference (native/lqr_ref.cpp). XLA fuses the whole map into one VPU pass;
+a dedicated Pallas variant exists in lqr_tpu/ops for fusion with the DP.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import EnergyFunc
+from .state import INF
+
+LUMA_W = (0.2126, 0.7152, 0.0722)
+
+
+def reader(img: jnp.ndarray, use_luma: bool) -> jnp.ndarray:
+    """Brightness/luma reader on a [H, Wb, C] u8 image -> [H, Wb] f32.
+
+    Invalid lanes (>= current width) must be zero in ``img``; the reader maps
+    them to 0 which downstream masking overrides anyway.
+    """
+    C = img.shape[2]
+    has_alpha = C in (2, 4)
+    nc = C - (1 if has_alpha else 0)
+    f = img.astype(jnp.float32)
+    if use_luma and nc >= 3:
+        s = jnp.float32(LUMA_W[0]) * f[:, :, 0]
+        s = s + jnp.float32(LUMA_W[1]) * f[:, :, 1]
+        s = s + jnp.float32(LUMA_W[2]) * f[:, :, 2]
+        s = s * jnp.float32(1.0 / 255)
+    else:
+        s = f[:, :, 0]
+        for k in range(1, nc):
+            s = s + f[:, :, k]
+        s = s * jnp.float32(1.0 / (255 * nc))
+    if has_alpha:
+        s = s * (f[:, :, -1] * jnp.float32(1.0 / 255))
+    return s
+
+
+def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-replicated central differences on the first w lanes (SPEC.md §2).
+
+    b: [H, Wb] f32 (lanes >= w are garbage/zero); w: traced current width.
+    Lanes >= w of the result are garbage — callers mask them to +inf.
+    """
+    H, Wb = b.shape
+    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    br = jnp.roll(b, -1, axis=1)
+    br = jnp.where(lane >= w - 1, b, br)      # replicate right edge at w-1
+    bl = jnp.roll(b, 1, axis=1)
+    bl = jnp.where(lane == 0, b, bl)          # replicate left edge
+    gx = (br - bl) * jnp.float32(0.5)
+    bd = jnp.concatenate([b[1:], b[-1:]], axis=0)   # row below (replicated)
+    bu = jnp.concatenate([b[:1], b[:-1]], axis=0)   # row above (replicated)
+    gy = (bd - bu) * jnp.float32(0.5)
+    return gx, gy
+
+
+def energy(img: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
+    """Energy map of the compacted current image. Lanes >= w get +inf.
+
+    img: [H, Wb, C] u8 (invalid lanes zeroed); w: traced width.
+    """
+    H, Wb = img.shape[:2]
+    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    nrg = EnergyFunc(nrg)
+    if nrg == EnergyFunc.NULL:
+        e = jnp.zeros((H, Wb), jnp.float32)
+    else:
+        use_luma = nrg in (EnergyFunc.LUMA_GRAD_XABS,
+                           EnergyFunc.LUMA_GRAD_SUMABS,
+                           EnergyFunc.LUMA_GRAD_NORM)
+        b = reader(img, use_luma)
+        gx, gy = gradients(b, w)
+        if nrg in (EnergyFunc.GRAD_XABS, EnergyFunc.LUMA_GRAD_XABS):
+            e = jnp.abs(gx)
+        elif nrg in (EnergyFunc.GRAD_SUMABS, EnergyFunc.LUMA_GRAD_SUMABS):
+            e = (jnp.abs(gx) + jnp.abs(gy)) * jnp.float32(0.5)
+        else:
+            e = jnp.sqrt(gx * gx + gy * gy)
+    return jnp.where(lane < w, e, INF)

@@ -1,0 +1,68 @@
+"""Pallas DP/backtrack kernels vs the pure-JAX reference implementation.
+
+Runs in interpreter mode on CPU (LQR_PALLAS_INTERPRET=1); the same kernels
+compile for real on TPU (exercised by bench.py / __graft_entry__).
+"""
+
+import os
+
+os.environ["LQR_PALLAS_INTERPRET"] = "1"
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import pytest  # noqa: E402
+
+from lqr_tpu.core import dp as jdp  # noqa: E402
+from lqr_tpu.ops import dp_pallas  # noqa: E402
+
+
+def _random_energy(rng, H, W, Wb):
+    e = np.full((H, Wb), np.inf, np.float32)
+    e[:, :W] = rng.random((H, W), dtype=np.float32)
+    # inject ties so tie-break rules are actually exercised
+    e[:, :W] = np.round(e[:, :W] * 8) / 8
+    return e
+
+
+@pytest.mark.parametrize("delta_x", [1, 2])
+@pytest.mark.parametrize("pref_left", [True, False])
+@pytest.mark.parametrize("H", [16, 24])
+def test_pallas_matches_jax(delta_x, pref_left, H):
+    rng = np.random.default_rng(7)
+    W, Wb = 40, 128
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                   jnp.bool_(pref_left), delta_x, False))
+    got = np.asarray(dp_pallas.find_seam_pallas(
+        jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref_left), delta_x,
+        False))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_with_rigidity():
+    rng = np.random.default_rng(3)
+    H, W, Wb = 24, 40, 128
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    rig[:, :W] = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    for pref in (True, False):
+        ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                       jnp.bool_(pref), 2, True))
+        got = np.asarray(dp_pallas.find_seam_pallas(
+            jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref), 2, True))
+        assert np.array_equal(ref, got)
+
+
+def test_pallas_forward_costmap():
+    """The M map itself must match the scan-based DP bit-for-bit."""
+    rng = np.random.default_rng(11)
+    H, W, Wb = 16, 30, 128
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    M_ref, _ = jdp.dp_forward(jnp.asarray(e), jnp.asarray(rig),
+                              jnp.bool_(True), 1, False)
+    M_pal = dp_pallas.dp_forward_pallas(jnp.asarray(e), jnp.asarray(rig),
+                                        jnp.bool_(True), 1, False)
+    got_last = np.asarray(M_pal)[-1, :W]
+    assert np.array_equal(np.asarray(M_ref)[:W], got_last)
