@@ -64,6 +64,52 @@ def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
     return gx, gy
 
 
+def reader_planar(channels: tuple, use_luma: bool) -> jnp.ndarray:
+    """Reader on planar per-channel u8 arrays (the hot-loop layout)."""
+    C = len(channels)
+    has_alpha = C in (2, 4)
+    nc = C - (1 if has_alpha else 0)
+    f = [c.astype(jnp.float32) for c in channels]
+    if use_luma and nc >= 3:
+        s = jnp.float32(LUMA_W[0]) * f[0]
+        s = s + jnp.float32(LUMA_W[1]) * f[1]
+        s = s + jnp.float32(LUMA_W[2]) * f[2]
+        s = s * jnp.float32(1.0 / 255)
+    else:
+        s = f[0]
+        for k in range(1, nc):
+            s = s + f[k]
+        s = s * jnp.float32(1.0 / (255 * nc))
+    if has_alpha:
+        s = s * (f[-1] * jnp.float32(1.0 / 255))
+    return s
+
+
+def energy_planar(channels: tuple, w, nrg: int) -> jnp.ndarray:
+    """Energy map from planar channel arrays. Lanes >= w get +inf.
+
+    Bit-identical to ``energy`` on the interleaved image (same op order).
+    """
+    H, Wb = channels[0].shape
+    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    nrg = EnergyFunc(nrg)
+    if nrg == EnergyFunc.NULL:
+        e = jnp.zeros((H, Wb), jnp.float32)
+    else:
+        use_luma = nrg in (EnergyFunc.LUMA_GRAD_XABS,
+                           EnergyFunc.LUMA_GRAD_SUMABS,
+                           EnergyFunc.LUMA_GRAD_NORM)
+        b = reader_planar(channels, use_luma)
+        gx, gy = gradients(b, w)
+        if nrg in (EnergyFunc.GRAD_XABS, EnergyFunc.LUMA_GRAD_XABS):
+            e = jnp.abs(gx)
+        elif nrg in (EnergyFunc.GRAD_SUMABS, EnergyFunc.LUMA_GRAD_SUMABS):
+            e = (jnp.abs(gx) + jnp.abs(gy)) * jnp.float32(0.5)
+        else:
+            e = jnp.sqrt(gx * gx + gy * gy)
+    return jnp.where(lane < w, e, INF)
+
+
 def energy(img: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
     """Energy map of the compacted current image. Lanes >= w get +inf.
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .state import EngineConfig, MapState, INF
-from .energy import energy
+from .energy import energy_planar
 from . import dp as dp_mod
 
 
@@ -40,14 +40,21 @@ def pref_is_left(s, freq: int):
 
 
 def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
-    """Carve one more seam into the map (depth += 1)."""
+    """Carve one more seam into the map (depth += 1).
+
+    Hot-loop design notes (all shapes static, widths traced):
+    - energy + DP on planar channel arrays (no trailing channel dim);
+    - seam recorded into vs via the column map: one [H]-gather + one
+      broadcast-compare select — no scans, no scatters;
+    - compaction is roll+select per array.
+    """
     H, Wb = cfg.H, cfg.Wb
     lane = _lane(H, Wb)
     w = st.ref_w - st.depth          # current compacted width
     s = st.depth + 1                 # global seam index within this map
     pl = pref_is_left(s, cfg.side_switch_freq)
 
-    e = energy(st.cur, w, cfg.nrg)
+    e = energy_planar(st.cur, w, cfg.nrg)
     if cfg.has_bias:
         e = jnp.where(lane < w, e + st.cur_bias, INF)
 
@@ -57,30 +64,26 @@ def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
     else:
         seam = dp_mod.find_seam(e, st.cur_rig, pl, cfg.delta_x, cfg.has_rig)
 
-    # record seam in reference coordinates through the visibility cumsum
-    visible = (st.vs == 0) & (lane < st.ref_w)
-    pos = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
-    hit = visible & (pos == seam[:, None])
-    vs = jnp.where(hit, s.astype(jnp.int32), st.vs)
+    # record seam in reference coordinates through the column map
+    orig = jnp.take_along_axis(st.colmap, seam[:, None], axis=1)
+    vs = jnp.where(lane == orig, s.astype(jnp.int32), st.vs)
 
     # compact the current arrays: drop one lane per row at seam[y]
     ge = lane >= seam[:, None]
     keep_m = lane < (w - 1)
 
     def compact(a, zero):
-        cond, keep = ge, keep_m
-        if a.ndim == 3:
-            cond, keep = ge[:, :, None], keep_m[:, :, None]
-        out = jnp.where(cond, jnp.roll(a, -1, axis=1), a)
-        return jnp.where(keep, out, zero)
+        out = jnp.where(ge, jnp.roll(a, -1, axis=1), a)
+        return jnp.where(keep_m, out, zero)
 
-    cur = compact(st.cur, jnp.uint8(0))
+    cur = tuple(compact(ch, jnp.uint8(0)) for ch in st.cur)
+    colmap = compact(st.colmap, jnp.int32(0))
     cur_bias = compact(st.cur_bias, jnp.float32(0)) if cfg.has_bias \
         else st.cur_bias
     cur_rig = compact(st.cur_rig, jnp.float32(0)) if cfg.has_rig \
         else st.cur_rig
     return st._replace(vs=vs, cur=cur, cur_bias=cur_bias, cur_rig=cur_rig,
-                       depth=st.depth + 1)
+                       colmap=colmap, depth=st.depth + 1)
 
 
 @functools.partial(jax.jit, static_argnums=0)

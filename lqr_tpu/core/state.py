@@ -55,12 +55,13 @@ class MapState(NamedTuple):
 
     Shrunk-most compacted fields (width = ref_w - depth; used to extend the
     map by carving further seams):
-      cur      u8  [H, Wb, C]
+      cur      tuple of C planar u8 [H, Wb] channel arrays — planar so the
+               hot loop never touches a trailing channel dim (which would
+               land in the tiled lane dimension and wreck TPU layouts)
       cur_bias f32 [H, Wb]
       cur_rig  f32 [H, Wb]
-
-    (No column map is kept: the mapping from compacted to reference
-    coordinates is recovered from ``vs`` with a row cumsum — pure VPU work.)
+      colmap   i32 [H, Wb]     compacted column -> reference column (for
+               O(1) seam recording into vs)
 
     Scalars (traced): ref_w, depth.
     """
@@ -70,9 +71,10 @@ class MapState(NamedTuple):
     rig: jnp.ndarray
     vs: jnp.ndarray
     aux: tuple
-    cur: jnp.ndarray
+    cur: tuple
     cur_bias: jnp.ndarray
     cur_rig: jnp.ndarray
+    colmap: jnp.ndarray
     ref_w: jnp.ndarray
     depth: jnp.ndarray
 
@@ -114,8 +116,9 @@ def init_state(cfg: EngineConfig, pixels, bias=None, rig=None,
                   for a in aux)
     assert tuple(a.shape[2] for a in aux_p) == tuple(cfg.aux_channels)
     vs = jnp.zeros((H, Wb), jnp.int32)
+    cur = tuple(pixels[:, :, k] for k in range(cfg.C))
     return MapState(
         ref=pixels, bias=bias, rig=rig, vs=vs, aux=aux_p,
-        cur=pixels, cur_bias=bias, cur_rig=rig,
+        cur=cur, cur_bias=bias, cur_rig=rig, colmap=lane_index(H, Wb),
         ref_w=jnp.int32(w), depth=jnp.int32(0),
     )

@@ -15,9 +15,11 @@ Two kernels replace liblqr's per-seam inner loop (the hot loop of
    tie-ranks). Row blocks are streamed in *reverse* grid order; the chase
    position (and the boundary rigidity scalar) carry across blocks in SMEM.
 
-Both kernels receive the side preference as a prefetched scalar so one
+Both kernels receive the side preference as a plain SMEM scalar input so one
 compiled kernel serves both tie-break orders (side-switch law,
-/root/reference/src/render.c:237).
+/root/reference/src/render.c:237). Deliberately NOT a
+PrefetchScalarGridSpec scalar: scalar-prefetch mode serializes the block DMA
+pipeline on this backend (~1 ms/call extra, measured).
 """
 
 from __future__ import annotations
@@ -38,10 +40,13 @@ def _interpret() -> bool:
 
 
 def _row_block(H: int) -> int:
-    """Rows per grid step. Mosaic requires the sublane block dim to be a
-    multiple of 8 or equal to the full array dim, so: 8 when H % 8 == 0,
-    else the whole height in one block (callers guard VMEM for that case)."""
-    return 8 if H % 8 == 0 else H
+    """Rows per grid step. Large blocks amortize the per-grid-step cost
+    (~3-5us each — it dominates at BR=8); Mosaic requires the sublane block
+    dim to be a multiple of 8 or equal to the full array dim."""
+    for b in (256, 128, 64, 32, 16, 8):
+        if H % b == 0:
+            return b
+    return H
 
 
 def _rank_consts(delta_x: int, H: int):
@@ -69,175 +74,347 @@ def _shift(arr, dx: int, inf):
     return jnp.where(lane < -dx, inf, s)
 
 
-def _dp_kernel(pl_ref, e_ref, rig_ref, m_ref, frontier, *, BR, delta_x,
-               has_rig, H):
+def _dp_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
+               delta_x, has_rig, H):
     i = pl.program_id(0)
-    pref_left = pl_ref[0] != 0
+    n = pl.num_programs(0)
+    pref_left = pl_ref[0, 0] != 0
     inf = jnp.float32(jnp.inf)
     cands = _rank_consts(delta_x, H)
 
-    for r in range(BR):
-        e_row = e_ref[r:r + 1, :]
-        is_first = (i == 0) & (r == 0) if r == 0 else False
+    # row 0 of the whole map has no predecessor row
+    @pl.when(i == 0)
+    def _():
+        frontier[0:1, :] = e_ref[0:1, :]
+        bp_ref[0:1, :] = jnp.zeros_like(bp_ref[0:1, :])
 
-        prev = frontier[0:1, :]
-        best = jnp.full(prev.shape, inf, jnp.float32)
-        best_rank = jnp.full(prev.shape, 127, jnp.int32)
+    start = jnp.where(i == 0, 1, 0)
+
+    def row_fn(r, M_prev):
+        e_row = e_ref[pl.ds(r, 1), :]
+        best = jnp.full(M_prev.shape, inf, jnp.float32)
+        best_rank = jnp.full(M_prev.shape, 127, jnp.int32)
+        bp = jnp.zeros(M_prev.shape, jnp.int32)
         if has_rig:
-            rig_row = rig_ref[r:r + 1, :]
+            rig_row = rig_ref[pl.ds(r, 1), :]
         for dx, rl, rr, rigc in cands:
-            c = _shift(prev, dx, inf)
+            c = _shift(M_prev, dx, inf)
             if has_rig and dx != 0:
                 c = c + rig_row * rigc
             rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
             take = (c < best) | ((c == best) & (rank < best_rank))
             best = jnp.where(take, c, best)
             best_rank = jnp.where(take, rank, best_rank)
+            bp = jnp.where(take, jnp.int32(dx), bp)
         m_row = e_row + best
+        bp_ref[pl.ds(r, 1), :] = bp
+        return m_row
 
-        if r == 0:
-            # row 0 of the whole map has no predecessor row
-            m_row = jnp.where(is_first, e_row, m_row)
-        m_ref[r:r + 1, :] = m_row
-        frontier[0:1, :] = m_row
+    M_final = jax.lax.fori_loop(start, BR, row_fn, frontier[0:1, :])
+    frontier[0:1, :] = M_final
+    # publish the final frontier once, at the last grid step
+    @pl.when(i == n - 1)
+    def _():
+        m_ref[0:1, :] = M_final
 
 
 @functools.partial(jax.jit, static_argnames=("delta_x", "has_rig"))
 def dp_forward_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
-    """e_tot: [H, Wb] f32 (+inf at invalid lanes); returns M [H, Wb] f32."""
+    """Forward DP. e_tot: [H, Wb] f32 (+inf at invalid lanes, bias folded
+    in). Returns (M_last [Wb] f32, bp [H, Wb] i32 backpointers)."""
     H, Wb = e_tot.shape
     BR = _row_block(H)
     grid = (H // BR,)
-    pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1)
+    pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
     kernel = functools.partial(_dp_kernel, BR=BR, delta_x=delta_x,
                                has_rig=has_rig, H=H)
-    return pl.pallas_call(
+    # NOTE: the side-preference scalar is a plain SMEM input, NOT a
+    # PrefetchScalarGridSpec scalar — scalar-prefetch mode serializes the
+    # block DMA pipeline on this backend (~1ms/call measured).
+    m_last, bp = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((BR, Wb), lambda i, *_: (i, 0)),
-                pl.BlockSpec((BR, Wb), lambda i, *_: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((BR, Wb), lambda i, *_: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((1, Wb), jnp.float32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, Wb), lambda i: (i, 0)),
+            pl.BlockSpec((BR, Wb), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, Wb), lambda i: (0, 0)),
+            pl.BlockSpec((BR, Wb), lambda i: (i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((H, Wb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, Wb), jnp.float32)],
+        out_shape=(
+            jax.ShapeDtypeStruct((8, Wb), jnp.float32),
+            jax.ShapeDtypeStruct((H, Wb), jnp.int32),
+        ),
         interpret=_interpret(),
     )(pl_arr, e_tot, rig)
+    return m_last[0], bp
 
 
-def _window_argmin(m_row, x, srig, pref_left, delta_x, has_rig, H, Wb):
-    """Vectorized argmin over the dx window at scalar position x.
+def _bt_kernel(pl_ref, m_ref, bp_ref, oh_ref, oh_scr, *, BR, delta_x, Wb):
+    """One-hot backpointer walk — fully vectorized, no scalar chases.
 
-    m_row: [1, Wb]; x: i32 scalar; srig: f32 scalar rigidity at the target
-    pixel. Returns new x (i32 scalar). Tie law = SPEC.md §5.
+    The seam position at each row is carried as a one-hot [1, Wb] vector in
+    VMEM scratch; following a backpointer dx is a roll of the masked
+    one-hot. Tie-breaking already happened in the forward pass (bp encodes
+    the chosen dx), so this walk is exact.
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
-    d = lane - x
-    ad = jnp.abs(d)
-    inwin = ad <= delta_x
-    cost = m_row
-    if has_rig:
-        # per-|dx| rigidity constants, each rounded to f32 exactly once
-        rig_add = jnp.zeros_like(m_row)
-        for m in range(delta_x, 0, -1):
-            rigc = np.float32((m ** 1.5) / H)
-            rig_add = jnp.where(ad == m, srig * rigc, rig_add)
-        cost = cost + rig_add
-    # rank: 0 at dx=0; else 2|dx|-1 for the preferred side, 2|dx| otherwise.
-    # (int arithmetic instead of bool-vector selects — Mosaic cannot
-    # legalize arith.select on i1 vectors)
-    pl_i = pref_left.astype(jnp.int32)
-    pref_neg = (pl_i * (d < 0).astype(jnp.int32)
-                + (1 - pl_i) * (d > 0).astype(jnp.int32))
-    rank = jnp.where(d == 0, 0, 2 * ad - pref_neg)
-    big = jnp.float32(jnp.inf)
-    mmin = jnp.min(jnp.where(inwin, cost, big))
-    cand = inwin & (cost == mmin)
-    rmin = jnp.min(jnp.where(cand, rank, 1 << 20))
-    xn = jnp.min(jnp.where(cand & (rank == rmin), lane, Wb))
-    return xn.astype(jnp.int32)
-
-
-def _bt_kernel(pl_ref, m_ref, rig_ref, seam_ref, carry_x, carry_rig, *,
-               BR, delta_x, has_rig, H, Wb):
     i = pl.program_id(0)
-    n = pl.num_programs(0)
-    pref_left = pl_ref[0] != 0
+    pref_left = pl_ref[0, 0] != 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
 
-    # start: global argmin of the last row (only at the first grid step)
     @pl.when(i == 0)
     def _():
-        m_row = m_ref[BR - 1:BR, :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
+        # start: argmin of the last M row; ties leftmost (pref LEFT) else
+        # rightmost (SPEC.md §5)
+        m_row = m_ref[0:1, :]
         mmin = jnp.min(m_row)
         eq = m_row == mmin
         left_x = jnp.min(jnp.where(eq, lane, Wb))
         right_x = jnp.max(jnp.where(eq, lane, -1))
-        carry_x[0] = jnp.where(pref_left, left_x, right_x).astype(jnp.int32)
-        carry_rig[0] = jnp.float32(0)
+        x0 = jnp.where(pref_left, left_x, right_x)
+        oh_scr[0:1, :] = (lane == x0).astype(jnp.int32)
 
-    x = carry_x[0]
-    # Rows of this block, walked bottom-up. At i == 0 the start position is
-    # the global argmin just computed; at i > 0 we first hop from the row
-    # below (previous block's bottom row in walk order) into this block's
-    # last row, using the carried boundary rigidity scalar.
-    for idx, r in enumerate(range(BR - 1, -1, -1)):
-        if idx == 0:
-            bx = _window_argmin(m_ref[BR - 1:BR, :], x, carry_rig[0],
-                                pref_left, delta_x, has_rig, H, Wb)
-            x = jnp.where(i > 0, bx, x)
-        seam_ref[r, 0] = x
+    def row_fn(k, oh):
+        r = BR - 1 - k
+        oh_ref[pl.ds(r, 1), :] = oh
+        # walk: position x moves to x + bp[r, x]
+        bp_row = bp_ref[pl.ds(r, 1), :]
+        nxt = oh * (bp_row == 0).astype(jnp.int32)
+        for d in range(1, delta_x + 1):
+            m_neg = oh * (bp_row == -d).astype(jnp.int32)
+            m_pos = oh * (bp_row == d).astype(jnp.int32)
+            nxt = nxt + pltpu.roll(m_neg, (-d) % Wb, axis=1)
+            nxt = nxt + pltpu.roll(m_pos, d, axis=1)
+        return nxt
 
-        def _rig_at(row_idx, xx):
-            # dynamic scalar VMEM loads are not legalizable; extract the
-            # rigidity scalar with a masked reduction instead
-            if not has_rig:
-                return jnp.float32(0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
-            return jnp.sum(jnp.where(lane == xx,
-                                     rig_ref[row_idx:row_idx + 1, :], 0.0))
+    oh_final = jax.lax.fori_loop(0, BR, row_fn, oh_scr[0:1, :])
+    oh_scr[0:1, :] = oh_final
 
-        if r > 0:
-            x = _window_argmin(m_ref[r - 1:r, :], x, _rig_at(r, x),
-                               pref_left, delta_x, has_rig, H, Wb)
-    # save carry for the next (upper) block
-    carry_x[0] = x
-    carry_rig[0] = _rig_at(0, x)
+
+@functools.partial(jax.jit, static_argnames=("delta_x",))
+def backtrack_pallas(M_last, bp, pref_left, delta_x: int):
+    """Seam from (last DP row, backpointers). Returns [H] i32."""
+    H, Wb = bp.shape
+    BR = _row_block(H)
+    n = H // BR
+    pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
+    m8 = jnp.broadcast_to(M_last, (8, Wb))
+    kernel = functools.partial(_bt_kernel, BR=BR, delta_x=delta_x, Wb=Wb)
+    rev = lambda i, *_: (n - 1 - i, 0)  # noqa: E731 — reversed block order
+    oh = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, Wb), lambda i: (0, 0)),
+            pl.BlockSpec((BR, Wb), rev),
+        ],
+        out_specs=pl.BlockSpec((BR, Wb), rev),
+        scratch_shapes=[pltpu.VMEM((1, Wb), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((H, Wb), jnp.int32),
+        interpret=_interpret(),
+    )(pl_arr, m8, bp)
+    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    return jnp.sum(oh * lane, axis=1, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Folded-row kernels (production path)
+#
+# A [1, Wb] row uses 1 of 8 VPU sublanes (Wb/128 vregs per op). Folding each
+# row to [f, L] (x = s*L + l, f*L = Wb) makes every row op use the full
+# (8, 128) vector shape — 8x fewer vector ops per row. Cross-fold-boundary
+# shifts are patched with one sublane roll + lane select (global order is
+# preserved exactly; results are bit-identical to the flat kernels).
+# ---------------------------------------------------------------------------
+
+def _fold_factor(Wb: int) -> int:
+    for f in (8, 4, 2):
+        if Wb % f == 0 and (Wb // f) % 128 == 0:
+            return f
+    return 1
+
+
+def _shift_folded(M, d: int, fill, f: int, L: int):
+    """shifted[x] = M[x + d] on a folded row [f, L]; out-of-range -> fill."""
+    if d == 0:
+        return M
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    W = f * L
+    if d > 0:
+        a = pltpu.roll(M, (-d) % L, axis=1)
+        ms = pltpu.roll(M, (f - 1) % f if f > 1 else 0, axis=0)  # M[s+1]
+        b = pltpu.roll(ms, (-d) % L, axis=1)
+        out = jnp.where(lane >= L - d, b, a)
+        return jnp.where(glane >= W - d, fill, out)
+    dd = -d
+    a = pltpu.roll(M, dd, axis=1)
+    ms = pltpu.roll(M, 1 % f if f > 1 else 0, axis=0)            # M[s-1]
+    b = pltpu.roll(ms, dd, axis=1)
+    out = jnp.where(lane < dd, b, a)
+    return jnp.where(glane < dd, fill, out)
+
+
+_CHUNK = 8  # rows unrolled per fori iteration (amortizes loop overhead)
+
+
+def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
+                delta_x, has_rig, H, f, L):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    pref_left = pl_ref[0, 0] != 0
+    inf = jnp.float32(jnp.inf)
+    cands = _rank_consts(delta_x, H)
+    CH = _CHUNK
+
+    def dp_row(M_prev, e_row, rig_row):
+        best = jnp.full((f, L), inf, jnp.float32)
+        best_rank = jnp.full((f, L), 127, jnp.int32)
+        bp = jnp.zeros((f, L), jnp.int32)
+        for dx, rl, rr, rigc in cands:
+            c = _shift_folded(M_prev, dx, inf, f, L)
+            if has_rig and dx != 0:
+                c = c + rig_row * rigc
+            rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
+            take = (c < best) | ((c == best) & (rank < best_rank))
+            best = jnp.where(take, c, best)
+            best_rank = jnp.where(take, rank, best_rank)
+            bp = jnp.where(take, jnp.int32(dx), bp)
+        return e_row + best, bp
+
+    def chunk_fn(k, M_prev):
+        base = k * CH
+        e_chunk = e_ref[pl.ds(base, CH)]
+        rig_chunk = rig_ref[pl.ds(base, CH)] if has_rig else None
+        bps = []
+        for j in range(CH):
+            e_row = e_chunk[j]
+            m_row, bp = dp_row(M_prev, e_row,
+                               rig_chunk[j] if has_rig else None)
+            if j == 0:
+                # row 0 of the whole map has no predecessor row
+                first = (i == 0) & (k == 0)
+                m_row = jnp.where(first, e_row, m_row)
+                bp = jnp.where(first, jnp.int32(0), bp)
+            bps.append(bp)
+            M_prev = m_row
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps)
+        return M_prev
+
+    M_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, frontier[:, :])
+    frontier[:, :] = M_final
+
+    @pl.when(i == n - 1)
+    def _():
+        m_ref[:, :] = M_final
+
+
+def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
+                f, L):
+    i = pl.program_id(0)
+    pref_left = pl_ref[0, 0] != 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    W = f * L
+
+    @pl.when(i == 0)
+    def _():
+        m_row = m_ref[:, :]
+        mmin = jnp.min(m_row)
+        eq = m_row == mmin
+        left_x = jnp.min(jnp.where(eq, glane, W))
+        right_x = jnp.max(jnp.where(eq, glane, -1))
+        x0 = jnp.where(pref_left, left_x, right_x)
+        oh_scr[:, :] = (glane == x0).astype(jnp.int32)
+
+    CH = _CHUNK
+
+    def chunk_fn(k, oh):
+        base = BR - (k + 1) * CH
+        bp_chunk = bp_ref[pl.ds(base, CH)]
+        ohs = [None] * CH
+        for j in range(CH - 1, -1, -1):
+            ohs[j] = oh
+            bp_row = bp_chunk[j]
+            nxt = oh * (bp_row == 0).astype(jnp.int32)
+            for d in range(1, delta_x + 1):
+                m_neg = oh * (bp_row == -d).astype(jnp.int32)
+                m_pos = oh * (bp_row == d).astype(jnp.int32)
+                nxt = nxt + _shift_folded(m_neg, d, jnp.int32(0), f, L)
+                nxt = nxt + _shift_folded(m_pos, -d, jnp.int32(0), f, L)
+            oh = nxt
+        # vector stores only — per-row scalar reductions/stores cost ~0.5us
+        # each and would dominate the whole kernel
+        seam_ref[pl.ds(base, CH)] = jnp.stack(ohs)
+        return oh
+
+    oh_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, oh_scr[:, :])
+    oh_scr[:, :] = oh_final
 
 
 @functools.partial(jax.jit, static_argnames=("delta_x", "has_rig"))
-def backtrack_pallas(M, rig, pref_left, delta_x: int, has_rig: bool):
-    """Seam from the DP cost map. M: [H, Wb] f32. Returns [H] i32."""
-    H, Wb = M.shape
-    BR = _row_block(H)
-    n = H // BR
-    pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1)
-    kernel = functools.partial(_bt_kernel, BR=BR, delta_x=delta_x,
-                               has_rig=has_rig, H=H, Wb=Wb)
-    rev = lambda i, *_: (n - 1 - i, 0)  # noqa: E731 — reversed block order
-    seam = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec((BR, Wb), rev),
-                pl.BlockSpec((BR, Wb), rev),
-            ],
-            out_specs=pl.BlockSpec((BR, 1), rev, memory_space=pltpu.SMEM),
-            scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
-                            pltpu.SMEM((1,), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((H, 1), jnp.int32),
-        interpret=_interpret(),
-    )(pl_arr, M, rig)
-    return seam[:, 0]
-
-
 def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
-    """Drop-in replacement for core.dp.find_seam on TPU."""
-    M = dp_forward_pallas(e_tot, rig, pref_left, delta_x, has_rig)
-    return backtrack_pallas(M, rig, pref_left, delta_x, has_rig)
+    """Production TPU seam search: folded-row DP + one-hot backtrack.
+
+    Drop-in replacement for core.dp.find_seam (bit-identical output).
+    """
+    H, Wb = e_tot.shape
+    f = _fold_factor(Wb)
+    if f == 1:
+        M_last, bp = dp_forward_pallas(e_tot, rig, pref_left, delta_x,
+                                       has_rig)
+        return backtrack_pallas(M_last, bp, pref_left, delta_x)
+    L = Wb // f
+    BR = min(_row_block(H), 128)   # cap block VMEM footprint
+    n = H // BR
+    pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
+    e_f = e_tot.reshape(H, f, L)
+    rig_f = rig.reshape(H, f, L)
+    # without rigidity, stream only a dummy 1-row rig block
+    rig_spec = (pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0)) if has_rig
+                else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
+
+    m_last, bp = pl.pallas_call(
+        functools.partial(_dpf_kernel, BR=BR, delta_x=delta_x,
+                          has_rig=has_rig, H=H, f=f, L=L),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0)),
+            rig_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((f, L), lambda i: (0, 0)),
+            pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
+        out_shape=(
+            jax.ShapeDtypeStruct((f, L), jnp.float32),
+            jax.ShapeDtypeStruct((H, f, L), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(pl_arr, e_f, rig_f)
+
+    oh = pl.pallas_call(
+        functools.partial(_btf_kernel, BR=BR, delta_x=delta_x, f=f, L=L),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((f, L), lambda i: (0, 0)),
+            pl.BlockSpec((BR, f, L), lambda i: (n - 1 - i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BR, f, L), lambda i: (n - 1 - i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((H, f, L), jnp.int32),
+        interpret=_interpret(),
+    )(pl_arr, m_last, bp)
+    sub = jnp.arange(f, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    glane = sub * L + lane
+    return jnp.sum(oh * glane, axis=(1, 2), dtype=jnp.int32)

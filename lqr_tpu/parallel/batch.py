@@ -33,8 +33,11 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
     bias = z if bias is None else jnp.asarray(bias, jnp.float32)
     rig = z if rig is None else jnp.asarray(rig, jnp.float32)
     vs = jnp.zeros((B, H, Wb), jnp.int32)
+    cur = tuple(pixels[:, :, :, k] for k in range(cfg.C))
+    colmap = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32),
+                              (B, H, Wb))
     return MapState(ref=pixels, bias=bias, rig=rig, vs=vs, aux=(),
-                    cur=pixels, cur_bias=bias, cur_rig=rig,
+                    cur=cur, cur_bias=bias, cur_rig=rig, colmap=colmap,
                     ref_w=jnp.asarray(widths, jnp.int32),
                     depth=jnp.zeros((B,), jnp.int32))
 

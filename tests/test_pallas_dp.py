@@ -54,15 +54,42 @@ def test_pallas_with_rigidity():
         assert np.array_equal(ref, got)
 
 
+def test_pallas_folded_path():
+    """Wb >= 1024 engages the folded-row kernels (fold factor > 1); they
+    must stay bit-identical to the scan DP, including side preference and
+    rigidity."""
+    rng = np.random.default_rng(21)
+    H, W, Wb = 16, 1000, 1024
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    from lqr_tpu.ops.dp_pallas import _fold_factor
+    assert _fold_factor(Wb) > 1
+    for pref in (True, False):
+        for dx in (1, 2):
+            ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                           jnp.bool_(pref), dx, False))
+            got = np.asarray(dp_pallas.find_seam_pallas(
+                jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref), dx,
+                False))
+            assert np.array_equal(ref, got), (pref, dx)
+    rig[:, :W] = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                   jnp.bool_(True), 2, True))
+    got = np.asarray(dp_pallas.find_seam_pallas(
+        jnp.asarray(e), jnp.asarray(rig), jnp.bool_(True), 2, True))
+    assert np.array_equal(ref, got)
+
+
 def test_pallas_forward_costmap():
-    """The M map itself must match the scan-based DP bit-for-bit."""
+    """Last DP row and backpointers must match the scan DP bit-for-bit."""
     rng = np.random.default_rng(11)
     H, W, Wb = 16, 30, 128
     e = _random_energy(rng, H, W, Wb)
     rig = np.zeros((H, Wb), np.float32)
-    M_ref, _ = jdp.dp_forward(jnp.asarray(e), jnp.asarray(rig),
-                              jnp.bool_(True), 1, False)
-    M_pal = dp_pallas.dp_forward_pallas(jnp.asarray(e), jnp.asarray(rig),
-                                        jnp.bool_(True), 1, False)
-    got_last = np.asarray(M_pal)[-1, :W]
-    assert np.array_equal(np.asarray(M_ref)[:W], got_last)
+    M_ref, bp_ref = jdp.dp_forward(jnp.asarray(e), jnp.asarray(rig),
+                                   jnp.bool_(True), 1, False)
+    M_pal, bp_pal = dp_pallas.dp_forward_pallas(
+        jnp.asarray(e), jnp.asarray(rig), jnp.bool_(True), 1, False)
+    assert np.array_equal(np.asarray(M_ref)[:W], np.asarray(M_pal)[:W])
+    assert np.array_equal(np.asarray(bp_ref)[:, :W].astype(np.int32),
+                          np.asarray(bp_pal)[:, :W])
