@@ -6,8 +6,14 @@ Replaces liblqr's builtin energy functions
 
 All ops are element-wise f32 with a pinned evaluation order so that results
 are bit-identical to the NumPy oracle (lqr_tpu/oracle.py) and the C++
-reference (native/lqr_ref.cpp). XLA fuses the whole map into one VPU pass;
-a dedicated Pallas variant exists in lqr_tpu/ops for fusion with the DP.
+reference (native/lqr_ref.cpp).
+
+Hot-loop key fact: every builtin energy is a gradient of a per-pixel
+*reader* value (brightness or luma, SPEC.md §1), and a pixel's reader value
+never changes as seams are carved — compaction only moves pixels. The
+engine therefore precomputes the reader plane once (``reader_plane``) and
+carves it along with the image; per seam only ``energy_from_plane`` runs
+(gradients + mask), which is bit-identical to recomputing from u8 pixels.
 """
 
 from __future__ import annotations
@@ -19,30 +25,46 @@ from .state import INF
 
 LUMA_W = (0.2126, 0.7152, 0.0722)
 
+_LUMA_FAMILY = (EnergyFunc.LUMA_GRAD_XABS, EnergyFunc.LUMA_GRAD_SUMABS,
+                EnergyFunc.LUMA_GRAD_NORM)
+
 
 def reader(img: jnp.ndarray, use_luma: bool) -> jnp.ndarray:
-    """Brightness/luma reader on a [H, Wb, C] u8 image -> [H, Wb] f32.
+    """Brightness/luma reader on a [..., H, Wb, C] u8 image -> [..., H, Wb]
+    f32.
 
     Invalid lanes (>= current width) must be zero in ``img``; the reader maps
     them to 0 which downstream masking overrides anyway.
     """
-    C = img.shape[2]
+    C = img.shape[-1]
     has_alpha = C in (2, 4)
     nc = C - (1 if has_alpha else 0)
     f = img.astype(jnp.float32)
     if use_luma and nc >= 3:
-        s = jnp.float32(LUMA_W[0]) * f[:, :, 0]
-        s = s + jnp.float32(LUMA_W[1]) * f[:, :, 1]
-        s = s + jnp.float32(LUMA_W[2]) * f[:, :, 2]
+        s = jnp.float32(LUMA_W[0]) * f[..., 0]
+        s = s + jnp.float32(LUMA_W[1]) * f[..., 1]
+        s = s + jnp.float32(LUMA_W[2]) * f[..., 2]
         s = s * jnp.float32(1.0 / 255)
     else:
-        s = f[:, :, 0]
+        s = f[..., 0]
         for k in range(1, nc):
-            s = s + f[:, :, k]
+            s = s + f[..., k]
         s = s * jnp.float32(1.0 / (255 * nc))
     if has_alpha:
-        s = s * (f[:, :, -1] * jnp.float32(1.0 / 255))
+        s = s * (f[..., -1] * jnp.float32(1.0 / 255))
     return s
+
+
+def reader_plane(img: jnp.ndarray, nrg: int) -> jnp.ndarray:
+    """The precomputed hot-state reader plane for energy function ``nrg``.
+
+    img: [..., H, Wb, C] u8 (invalid lanes zeroed) -> f32 [..., H, Wb].
+    NULL energy needs no reader; returns zeros.
+    """
+    nrg = EnergyFunc(nrg)
+    if nrg == EnergyFunc.NULL:
+        return jnp.zeros(img.shape[:-1], jnp.float32)
+    return reader(img, nrg in _LUMA_FAMILY)
 
 
 def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -64,42 +86,19 @@ def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
     return gx, gy
 
 
-def reader_planar(channels: tuple, use_luma: bool) -> jnp.ndarray:
-    """Reader on planar per-channel u8 arrays (the hot-loop layout)."""
-    C = len(channels)
-    has_alpha = C in (2, 4)
-    nc = C - (1 if has_alpha else 0)
-    f = [c.astype(jnp.float32) for c in channels]
-    if use_luma and nc >= 3:
-        s = jnp.float32(LUMA_W[0]) * f[0]
-        s = s + jnp.float32(LUMA_W[1]) * f[1]
-        s = s + jnp.float32(LUMA_W[2]) * f[2]
-        s = s * jnp.float32(1.0 / 255)
-    else:
-        s = f[0]
-        for k in range(1, nc):
-            s = s + f[k]
-        s = s * jnp.float32(1.0 / (255 * nc))
-    if has_alpha:
-        s = s * (f[-1] * jnp.float32(1.0 / 255))
-    return s
+def energy_from_plane(b: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
+    """Energy map from a precomputed reader plane. Lanes >= w get +inf.
 
-
-def energy_planar(channels: tuple, w, nrg: int) -> jnp.ndarray:
-    """Energy map from planar channel arrays. Lanes >= w get +inf.
-
-    Bit-identical to ``energy`` on the interleaved image (same op order).
+    Bit-identical to ``energy`` on the interleaved image: the reader value
+    of a pixel is independent of carving, so gradient inputs are the same
+    f32 values in the same op order.
     """
-    H, Wb = channels[0].shape
+    H, Wb = b.shape
     lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
     nrg = EnergyFunc(nrg)
     if nrg == EnergyFunc.NULL:
         e = jnp.zeros((H, Wb), jnp.float32)
     else:
-        use_luma = nrg in (EnergyFunc.LUMA_GRAD_XABS,
-                           EnergyFunc.LUMA_GRAD_SUMABS,
-                           EnergyFunc.LUMA_GRAD_NORM)
-        b = reader_planar(channels, use_luma)
         gx, gy = gradients(b, w)
         if nrg in (EnergyFunc.GRAD_XABS, EnergyFunc.LUMA_GRAD_XABS):
             e = jnp.abs(gx)
@@ -115,21 +114,4 @@ def energy(img: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
 
     img: [H, Wb, C] u8 (invalid lanes zeroed); w: traced width.
     """
-    H, Wb = img.shape[:2]
-    lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
-    nrg = EnergyFunc(nrg)
-    if nrg == EnergyFunc.NULL:
-        e = jnp.zeros((H, Wb), jnp.float32)
-    else:
-        use_luma = nrg in (EnergyFunc.LUMA_GRAD_XABS,
-                           EnergyFunc.LUMA_GRAD_SUMABS,
-                           EnergyFunc.LUMA_GRAD_NORM)
-        b = reader(img, use_luma)
-        gx, gy = gradients(b, w)
-        if nrg in (EnergyFunc.GRAD_XABS, EnergyFunc.LUMA_GRAD_XABS):
-            e = jnp.abs(gx)
-        elif nrg in (EnergyFunc.GRAD_SUMABS, EnergyFunc.LUMA_GRAD_SUMABS):
-            e = (jnp.abs(gx) + jnp.abs(gy)) * jnp.float32(0.5)
-        else:
-            e = jnp.sqrt(gx * gx + gy * gy)
-    return jnp.where(lane < w, e, INF)
+    return energy_from_plane(reader_plane(img, nrg), w, nrg)

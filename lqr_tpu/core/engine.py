@@ -2,18 +2,25 @@
 
 This is the TPU-native replacement for liblqr's carving core (the hot loop of
 ``lqr_carver_resize``, SURVEY.md §3.1). Everything here is functional and
-jittable with static shapes:
+jittable with static shapes.
 
-- one seam step = energy map -> row DP -> backtrack -> visibility-map record
-  -> compaction, all on fixed [H, Wb] buffers with a traced current width;
+Hot-loop design (one seam on the compacted state):
+- energy = gradients of the precomputed reader plane ``cur_b`` (SPEC.md §2;
+  a pixel's reader value is carving-invariant so the u8 channels never enter
+  the loop);
+- Pallas DP + backtrack (lqr_tpu.ops.dp_pallas) or the lax.scan fallback;
 - compaction is a roll+select (no gather): removing column s of a row is
   ``where(lane >= s, shift_left(row), row)`` — pure VPU work;
-- seam recording needs no column map: the compacted coordinate of a visible
-  reference pixel is the row-wise exclusive cumsum of visibility (SPEC.md §6).
+- seams are NOT committed to the visibility map per step. They accumulate in
+  a [KC, H] history of successive compacted coordinates; once per chunk
+  ``_commit_hist`` composes the history back to reference coordinates (the
+  exact inverse of the per-step column-map bookkeeping) and scatters all KC
+  seam ids into ``vs`` at once. This keeps the per-seam HBM traffic to
+  (read plane, write backpointers, compact plane) — nothing else.
 
-``extend_map(state, k)`` carves k further seams (dynamic trip count — one
-compile per shape bucket); ``materialize`` produces any width in
-[ref_w - depth, ref_w + depth] from (ref, vs) per SPEC.md §6.
+``extend_map(state, k)`` carves k further seams (dynamic trip count);
+``materialize`` produces any width in [ref_w - depth, ref_w + depth] from
+(ref, vs) per SPEC.md §6.
 """
 
 from __future__ import annotations
@@ -24,8 +31,12 @@ import jax
 import jax.numpy as jnp
 
 from .state import EngineConfig, MapState, INF
-from .energy import energy_planar
+from .energy import energy_from_plane
 from . import dp as dp_mod
+
+# seams per hot chunk: the seam history committed to vs in one pass.
+# 128 rows of [KC, H] i32 history ~ 1 MB at H=2048 — negligible state.
+KC = 128
 
 
 def _lane(H: int, Wb: int):
@@ -39,36 +50,27 @@ def pref_is_left(s, freq: int):
     return (((s - 1) // freq) % 2) == 0
 
 
-def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
-    """Carve one more seam into the map (depth += 1).
-
-    Hot-loop design notes (all shapes static, widths traced):
-    - energy + DP on planar channel arrays (no trailing channel dim);
-    - seam recorded into vs via the column map: one [H]-gather + one
-      broadcast-compare select — no scans, no scatters;
-    - compaction is roll+select per array.
-    """
-    H, Wb = cfg.H, cfg.Wb
-    lane = _lane(H, Wb)
-    w = st.ref_w - st.depth          # current compacted width
-    s = st.depth + 1                 # global seam index within this map
-    pl = pref_is_left(s, cfg.side_switch_freq)
-
-    e = energy_planar(st.cur, w, cfg.nrg)
-    if cfg.has_bias:
-        e = jnp.where(lane < w, e + st.cur_bias, INF)
-
+def _find_seam(cfg: EngineConfig, e, rig, pl):
     if cfg.use_pallas:
         from ..ops.dp_pallas import find_seam_pallas
-        seam = find_seam_pallas(e, st.cur_rig, pl, cfg.delta_x, cfg.has_rig)
-    else:
-        seam = dp_mod.find_seam(e, st.cur_rig, pl, cfg.delta_x, cfg.has_rig)
+        return find_seam_pallas(e, rig, pl, cfg.delta_x, cfg.has_rig)
+    return dp_mod.find_seam(e, rig, pl, cfg.delta_x, cfg.has_rig)
 
-    # record seam in reference coordinates through the column map
-    orig = jnp.take_along_axis(st.colmap, seam[:, None], axis=1)
-    vs = jnp.where(lane == orig, s.astype(jnp.int32), st.vs)
 
-    # compact the current arrays: drop one lane per row at seam[y]
+def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s):
+    """Find seam s (global 1-based index) on the compacted planes at width
+    w and compact them. Returns (seam [H] i32, cur_b', cur_bias',
+    cur_rig')."""
+    H, Wb = cfg.H, cfg.Wb
+    lane = _lane(H, Wb)
+    pl = pref_is_left(s, cfg.side_switch_freq)
+
+    e = energy_from_plane(cur_b, w, cfg.nrg)
+    if cfg.has_bias:
+        e = jnp.where(lane < w, e + cur_bias, INF)
+
+    seam = _find_seam(cfg, e, cur_rig, pl)
+
     ge = lane >= seam[:, None]
     keep_m = lane < (w - 1)
 
@@ -76,20 +78,122 @@ def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
         out = jnp.where(ge, jnp.roll(a, -1, axis=1), a)
         return jnp.where(keep_m, out, zero)
 
-    cur = tuple(compact(ch, jnp.uint8(0)) for ch in st.cur)
-    colmap = compact(st.colmap, jnp.int32(0))
-    cur_bias = compact(st.cur_bias, jnp.float32(0)) if cfg.has_bias \
-        else st.cur_bias
-    cur_rig = compact(st.cur_rig, jnp.float32(0)) if cfg.has_rig \
-        else st.cur_rig
-    return st._replace(vs=vs, cur=cur, cur_bias=cur_bias, cur_rig=cur_rig,
-                       colmap=colmap, depth=st.depth + 1)
+    cur_b = compact(cur_b, jnp.float32(0))
+    if cfg.has_bias:
+        cur_bias = compact(cur_bias, jnp.float32(0))
+    if cfg.has_rig:
+        cur_rig = compact(cur_rig, jnp.float32(0))
+    return seam, cur_b, cur_bias, cur_rig
+
+
+def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
+    """Carve one more seam into the map (depth += 1), committing it to vs.
+
+    The single-seam public unit (used by the batched/sharded demos and
+    tests); resize loops use ``extend_map``, which amortizes the vs commit
+    over a whole chunk of seams.
+    """
+    H, Wb = cfg.H, cfg.Wb
+    lane = _lane(H, Wb)
+    w = st.ref_w - st.depth          # current compacted width
+    s = st.depth + 1                 # global seam index within this map
+    seam, cur_b, cur_bias, cur_rig = _carve_once(
+        cfg, st.cur_b, st.cur_bias, st.cur_rig, w, s)
+
+    # record in reference coords: the seam's compacted column equals its
+    # rank among still-visible (vs == 0) reference columns of the row
+    visible = (st.vs == 0) & (lane < st.ref_w)
+    pos = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
+    hit = visible & (pos == seam[:, None])
+    vs = jnp.where(hit, s.astype(jnp.int32), st.vs)
+
+    return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                       cur_rig=cur_rig, depth=st.depth + 1)
+
+
+def _hot_chunk(cfg: EngineConfig, cur_b, cur_bias, cur_rig, ref_w, d0, kc):
+    """Carve kc (traced, <= KC) seams from the compacted planes.
+
+    Returns (cur_b', cur_bias', cur_rig', hist [KC, H] i32) where hist[j] is
+    seam d0+j+1 in the compacted coordinates of the frame it was carved
+    from (rows >= kc are unused)."""
+    H = cfg.H
+    hist0 = jnp.zeros((KC, H), jnp.int32)
+
+    def body(j, c):
+        cur_b, cur_bias, cur_rig, hist = c
+        d = d0 + j
+        seam, cur_b, cur_bias, cur_rig = _carve_once(
+            cfg, cur_b, cur_bias, cur_rig, ref_w - d, d + 1)
+        hist = jax.lax.dynamic_update_slice(hist, seam[None], (j, 0))
+        return (cur_b, cur_bias, cur_rig, hist)
+
+    return jax.lax.fori_loop(0, kc, body, (cur_b, cur_bias, cur_rig, hist0))
+
+
+def _commit_hist(vs, ref_w, d0, kc, hist):
+    """Commit a chunk's seam history into the visibility map.
+
+    hist[j] ([H] per row) is in the coords of frame d0+j (the image with
+    d0+j seams removed). Composing the removals maps every seam back to
+    frame-d0 coords (position c in frame j+1 is position c + (c >= hist[j])
+    in frame j), then the rank-of-visible map on vs lifts frame-d0 coords to
+    reference columns. Bit-identical to per-seam column-map recording.
+    """
+    H, Wb = vs.shape
+    irow = jnp.arange(KC, dtype=jnp.int32)[:, None]            # [KC, 1]
+
+    def compose(t, R):
+        jr = KC - 2 - t
+        sj = jax.lax.dynamic_slice(hist, (jr, 0), (1, H))      # [1, H]
+        return R + ((R >= sj) & (irow > jr)).astype(jnp.int32)
+
+    R = jax.lax.fori_loop(0, KC - 1, compose, hist)            # frame-d0
+
+    lane = _lane(H, Wb)
+    rowsW = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                             (H, Wb))
+    visible = (vs == 0) & (lane < ref_w)
+    rank = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
+    # posmap[y, r] = reference column of the r-th visible pixel of row y
+    posmap = jnp.zeros((H, Wb), jnp.int32).at[
+        rowsW, jnp.where(visible, rank, Wb)].set(lane, mode="drop")
+
+    orig = jnp.take_along_axis(posmap, R.T, axis=1)            # [H, KC]
+    rowsK = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                             (H, KC))
+    iK = jnp.arange(KC, dtype=jnp.int32)[None, :]
+    cols = jnp.where(iK < kc, orig, Wb)                        # drop if >= kc
+    vals = jnp.broadcast_to(d0 + 1 + iK, (H, KC))
+    return vs.at[rowsK, cols].set(vals, mode="drop")
+
+
+def _extend_hot(cfg: EngineConfig, st: MapState, k) -> MapState:
+    """Carve k further seams (k traced i32), chunked by KC."""
+    k = jnp.asarray(k, jnp.int32)
+
+    def cond(c):
+        _, done = c
+        return done < k
+
+    def body(c):
+        st, done = c
+        kc = jnp.minimum(jnp.int32(KC), k - done)
+        cur_b, cur_bias, cur_rig, hist = _hot_chunk(
+            cfg, st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, st.depth, kc)
+        vs = _commit_hist(st.vs, st.ref_w, st.depth, kc, hist)
+        st = st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                         cur_rig=cur_rig, depth=st.depth + kc)
+        return (st, done + kc)
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def extend_map(cfg: EngineConfig, st: MapState, k) -> MapState:
     """Carve k further seams (k: traced int32; dynamic trip count)."""
-    return jax.lax.fori_loop(0, k, lambda i, s: seam_step(cfg, s), st)
+    return _extend_hot(cfg, st, k)
 
 
 # ---------------------------------------------------------------------------

@@ -55,15 +55,19 @@ class MapState(NamedTuple):
 
     Shrunk-most compacted fields (width = ref_w - depth; used to extend the
     map by carving further seams):
-      cur      tuple of C planar u8 [H, Wb] channel arrays — planar so the
-               hot loop never touches a trailing channel dim (which would
-               land in the tiled lane dimension and wreck TPU layouts)
+      cur_b    f32 [H, Wb]     precomputed reader plane (brightness/luma,
+               SPEC.md §1). A pixel's reader value is carving-invariant, so
+               the hot loop never touches the u8 channels — energy is
+               gradients of this single plane (energy.reader_plane).
       cur_bias f32 [H, Wb]
       cur_rig  f32 [H, Wb]
-      colmap   i32 [H, Wb]     compacted column -> reference column (for
-               O(1) seam recording into vs)
 
     Scalars (traced): ref_w, depth.
+
+    Seam recording: the hot loop does NOT maintain a column map or update
+    ``vs`` per seam — seams accumulate in a chunk-local history and are
+    committed to ``vs`` once per chunk (engine._commit_hist), which is
+    algebraically identical to per-seam column-map recording.
     """
 
     ref: jnp.ndarray
@@ -71,10 +75,9 @@ class MapState(NamedTuple):
     rig: jnp.ndarray
     vs: jnp.ndarray
     aux: tuple
-    cur: tuple
+    cur_b: jnp.ndarray
     cur_bias: jnp.ndarray
     cur_rig: jnp.ndarray
-    colmap: jnp.ndarray
     ref_w: jnp.ndarray
     depth: jnp.ndarray
 
@@ -95,6 +98,8 @@ def init_state(cfg: EngineConfig, pixels, bias=None, rig=None,
     bias/rig are f32 [H, w] fields on image coordinates (SPEC.md §3-§4).
     aux is a tuple of [H, w, C_i] uint8 images (lqr_carver_attach).
     """
+    from .energy import reader_plane   # late import (energy imports INF)
+
     H, Wb = cfg.H, cfg.Wb
     pixels = jnp.asarray(pixels, jnp.uint8)
     h, w = pixels.shape[:2]
@@ -116,9 +121,8 @@ def init_state(cfg: EngineConfig, pixels, bias=None, rig=None,
                   for a in aux)
     assert tuple(a.shape[2] for a in aux_p) == tuple(cfg.aux_channels)
     vs = jnp.zeros((H, Wb), jnp.int32)
-    cur = tuple(pixels[:, :, k] for k in range(cfg.C))
     return MapState(
         ref=pixels, bias=bias, rig=rig, vs=vs, aux=aux_p,
-        cur=cur, cur_bias=bias, cur_rig=rig, colmap=lane_index(H, Wb),
+        cur_b=reader_plane(pixels, cfg.nrg), cur_bias=bias, cur_rig=rig,
         ref_w=jnp.int32(w), depth=jnp.int32(0),
     )

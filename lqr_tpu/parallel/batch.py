@@ -26,6 +26,8 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
                        bias=None, rig=None) -> MapState:
     """pixels: [B, H, Wb, C] u8 (padded; lanes >= widths[b] zero);
     widths: [B] int32. bias/rig: [B, H, Wb] f32 or None."""
+    from ..core.energy import reader_plane
+
     B, H, Wb, C = pixels.shape
     assert (H, Wb, C) == (cfg.H, cfg.Wb, cfg.C)
     pixels = jnp.asarray(pixels, jnp.uint8)
@@ -33,31 +35,40 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
     bias = z if bias is None else jnp.asarray(bias, jnp.float32)
     rig = z if rig is None else jnp.asarray(rig, jnp.float32)
     vs = jnp.zeros((B, H, Wb), jnp.int32)
-    cur = tuple(pixels[:, :, :, k] for k in range(cfg.C))
-    colmap = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32),
-                              (B, H, Wb))
     return MapState(ref=pixels, bias=bias, rig=rig, vs=vs, aux=(),
-                    cur=cur, cur_bias=bias, cur_rig=rig, colmap=colmap,
+                    cur_b=reader_plane(pixels, cfg.nrg),
+                    cur_bias=bias, cur_rig=rig,
                     ref_w=jnp.asarray(widths, jnp.int32),
                     depth=jnp.zeros((B,), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def extend_map_batched(cfg: EngineConfig, st: MapState, k) -> MapState:
-    """Carve k[b] further seams into each image's map (masked fori)."""
+    """Carve k[b] further seams into each image's map.
+
+    Same chunked hot path as the single-image ``extend_map`` (seam history
+    committed to vs per chunk), with per-image seam counts masked inside
+    the chunk loop."""
     k = jnp.asarray(k, jnp.int32)
-    k_max = jnp.max(k)
 
-    step = jax.vmap(lambda s: eng.seam_step(cfg, s))
+    def cond(c):
+        _, done = c
+        return done < jnp.max(k)
 
-    def body(i, s):
-        s2 = step(s)
-        active = i < k                      # [B]
-        pick = lambda a, b: jnp.where(
-            active.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-        return jax.tree.map(pick, s2, s)
+    def body(c):
+        st, done = c
+        kc = jnp.clip(k - done, 0, eng.KC)     # [B] seams this chunk
+        cur_b, cur_bias, cur_rig, hist = jax.vmap(
+            lambda cb, cbs, crg, rw, d, kk: eng._hot_chunk(
+                cfg, cb, cbs, crg, rw, d, kk)
+        )(st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, st.depth, kc)
+        vs = jax.vmap(eng._commit_hist)(st.vs, st.ref_w, st.depth, kc, hist)
+        st = st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                         cur_rig=cur_rig, depth=st.depth + kc)
+        return (st, done + jnp.int32(eng.KC))
 
-    return jax.lax.fori_loop(0, k_max, body, st)
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -9,7 +9,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 from lqr_tpu.core.state import EngineConfig, init_state, round_up  # noqa
 from lqr_tpu.core import engine as eng  # noqa
-from lqr_tpu.core.energy import energy  # noqa
+from lqr_tpu.core.energy import energy_from_plane  # noqa
 from lqr_tpu.core import dp as jdp  # noqa
 from lqr_tpu.ops import dp_pallas  # noqa
 from bench import make_test_image  # noqa
@@ -33,44 +33,44 @@ def main(N=2048):
     w = jnp.int32(N)
     pl = jnp.bool_(True)
 
-    e_fn = jax.jit(lambda cur: energy(cur, w, 0))
-    e = e_fn(st.cur)
+    e_fn = jax.jit(lambda b: energy_from_plane(b, w, cfg.nrg))
+    e = e_fn(st.cur_b)
     rig = st.cur_rig
-    print(f"energy:          {timeit(e_fn, st.cur):8.3f} ms")
+    print(f"energy:          {timeit(e_fn, st.cur_b):8.3f} ms")
 
-    dpf = jax.jit(lambda e, r: dp_pallas.dp_forward_pallas(e, r, pl, 1,
-                                                           False))
-    M_last, bp = dpf(e, rig)
-    print(f"dp_forward(pal): {timeit(lambda *a: dpf(*a)[1], e, rig):8.3f} ms")
+    fs = jax.jit(lambda e, r: dp_pallas.find_seam_pallas(e, r, pl, 1, False))
+    seam = fs(e, rig)
+    print(f"find_seam(pal):  {timeit(fs, e, rig):8.3f} ms")
 
-    btf = jax.jit(lambda m, b: dp_pallas.backtrack_pallas(m, b, pl, 1))
-    seam = btf(M_last, bp)
-    print(f"backtrack(pal):  {timeit(btf, M_last, bp):8.3f} ms")
-
-    dps = jax.jit(lambda e, r: jdp.dp_forward(e, r, pl, 1, False))
-    Ms, bp = dps(e, rig)
-    print(f"dp_forward(scan):{timeit(dps, e, rig):8.3f} ms")
-    bts = jax.jit(lambda M, bp: jdp.backtrack(M, bp, pl))
-    print(f"backtrack(scan): {timeit(bts, Ms, bp):8.3f} ms")
+    fss = jax.jit(lambda e, r: jdp.find_seam(e, r, pl, 1, False))
+    print(f"find_seam(scan): {timeit(fss, e, rig):8.3f} ms")
 
     lane = jnp.broadcast_to(jnp.arange(cfg.Wb, dtype=jnp.int32),
                             (N, cfg.Wb))
 
-    def vs_update(vs, seam):
-        visible = (vs == 0) & (lane < w)
-        pos = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
-        hit = visible & (pos == seam[:, None])
-        return jnp.where(hit, jnp.int32(1), vs)
-    vsu = jax.jit(vs_update)
-    print(f"vs_update:       {timeit(vsu, st.vs, seam):8.3f} ms")
-
-    def compact(cur, seam):
-        ge = (lane >= seam[:, None])[:, :, None]
-        keep = (lane < (w - 1))[:, :, None]
-        out = jnp.where(ge, jnp.roll(cur, -1, axis=1), cur)
-        return jnp.where(keep, out, jnp.uint8(0))
+    def compact(b, seam):
+        ge = lane >= seam[:, None]
+        keep = lane < (w - 1)
+        out = jnp.where(ge, jnp.roll(b, -1, axis=1), b)
+        return jnp.where(keep, out, jnp.float32(0))
     cp = jax.jit(compact)
-    print(f"compact(img u8): {timeit(cp, st.cur, seam):8.3f} ms")
+    print(f"compact(f32):    {timeit(cp, st.cur_b, seam):8.3f} ms")
+
+    carve = jax.jit(lambda b: eng._carve_once(
+        cfg, b, st.cur_bias, st.cur_rig, w, jnp.int32(1)))
+    print(f"carve_once:      {timeit(carve, st.cur_b, n=10):8.3f} ms")
+
+    chunk = jax.jit(lambda s: eng._hot_chunk(
+        cfg, s.cur_b, s.cur_bias, s.cur_rig, s.ref_w, s.depth,
+        jnp.int32(eng.KC)))
+    ms = timeit(chunk, st, n=2, warm=1)
+    print(f"hot_chunk[{eng.KC}]:  {ms:8.3f} ms  "
+          f"({ms / eng.KC:6.3f} ms/seam)")
+
+    commit = jax.jit(lambda s, h: eng._commit_hist(
+        s.vs, s.ref_w, s.depth, jnp.int32(eng.KC), h))
+    hist = jnp.zeros((eng.KC, N), jnp.int32)
+    print(f"commit_hist:     {timeit(commit, st, hist):8.3f} ms")
 
     step = jax.jit(lambda s: eng.seam_step(cfg, s))
     print(f"full seam_step:  {timeit(step, st, n=10):8.3f} ms")
