@@ -78,6 +78,7 @@ def main():
     st = extend_map(cfg, st, jnp.int32(1))       # compile + 1 seam
     jax.block_until_ready(st.vs)
     st = init_state(cfg, img)
+    jax.block_until_ready(st)   # H2D transfer + init are not carve time
     t0 = time.perf_counter()
     st = extend_map(cfg, st, jnp.int32(args.seams))
     jax.block_until_ready(st.vs)

@@ -116,19 +116,35 @@ def _hot_chunk(cfg: EngineConfig, cur_b, cur_bias, cur_rig, ref_w, d0, kc):
 
     Returns (cur_b', cur_bias', cur_rig', hist [KC, H] i32) where hist[j] is
     seam d0+j+1 in the compacted coordinates of the frame it was carved
-    from (rows >= kc are unused)."""
+    from (rows >= kc are unused).
+
+    Only the planes that actually participate (per cfg.has_bias/has_rig)
+    ride the loop carry — threading invariant full-size arrays through a
+    fori_loop costs real copies."""
     H = cfg.H
     hist0 = jnp.zeros((KC, H), jnp.int32)
 
-    def body(j, c):
-        cur_b, cur_bias, cur_rig, hist = c
-        d = d0 + j
-        seam, cur_b, cur_bias, cur_rig = _carve_once(
-            cfg, cur_b, cur_bias, cur_rig, ref_w - d, d + 1)
-        hist = jax.lax.dynamic_update_slice(hist, seam[None], (j, 0))
-        return (cur_b, cur_bias, cur_rig, hist)
+    def pack(b, bias, rig, hist):
+        return ((b,) + ((bias,) if cfg.has_bias else ())
+                + ((rig,) if cfg.has_rig else ()) + (hist,))
 
-    return jax.lax.fori_loop(0, kc, body, (cur_b, cur_bias, cur_rig, hist0))
+    def unpack(c):
+        b, rest = c[0], c[1:]
+        bias = rest[0] if cfg.has_bias else cur_bias
+        rest = rest[1:] if cfg.has_bias else rest
+        rig = rest[0] if cfg.has_rig else cur_rig
+        return b, bias, rig, rest[-1]
+
+    def body(j, c):
+        b, bias, rig, hist = unpack(c)
+        d = d0 + j
+        seam, b, bias, rig = _carve_once(cfg, b, bias, rig, ref_w - d, d + 1)
+        hist = jax.lax.dynamic_update_slice(hist, seam[None], (j, 0))
+        return pack(b, bias, rig, hist)
+
+    out = jax.lax.fori_loop(0, kc, body,
+                            pack(cur_b, cur_bias, cur_rig, hist0))
+    return unpack(out)
 
 
 def _commit_hist(vs, ref_w, d0, kc, hist):
@@ -150,14 +166,17 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
 
     R = jax.lax.fori_loop(0, KC - 1, compose, hist)            # frame-d0
 
+    # A frame-d0 coordinate is the seam's rank among visible reference
+    # columns of its row. posmap[y, r] = reference column of the r-th
+    # visible pixel, built with one stable row sort (visible-first,
+    # order-preserving) — full-size scatters/gathers cost ~10x a sort on
+    # TPU. Then one small gather reads the KC original columns and one
+    # small scatter writes the seam ids.
     lane = _lane(H, Wb)
-    rowsW = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
-                             (H, Wb))
     visible = (vs == 0) & (lane < ref_w)
-    rank = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
-    # posmap[y, r] = reference column of the r-th visible pixel of row y
-    posmap = jnp.zeros((H, Wb), jnp.int32).at[
-        rowsW, jnp.where(visible, rank, Wb)].set(lane, mode="drop")
+    key = 1 - visible.astype(jnp.int32)
+    _, posmap = jax.lax.sort((key, lane), dimension=1, num_keys=1,
+                             is_stable=True)
 
     orig = jnp.take_along_axis(posmap, R.T, axis=1)            # [H, KC]
     rowsK = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
@@ -169,25 +188,28 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
 
 
 def _extend_hot(cfg: EngineConfig, st: MapState, k) -> MapState:
-    """Carve k further seams (k traced i32), chunked by KC."""
+    """Carve k further seams (k traced i32), chunked by KC.
+
+    Only the mutating arrays ride the while carry; ref/bias/rig/aux are
+    loop-invariant and stay outside (threading them costs copies)."""
     k = jnp.asarray(k, jnp.int32)
 
     def cond(c):
-        _, done = c
-        return done < k
+        return c[-1] < k
 
     def body(c):
-        st, done = c
+        cur_b, cur_bias, cur_rig, vs, depth, done = c
         kc = jnp.minimum(jnp.int32(KC), k - done)
         cur_b, cur_bias, cur_rig, hist = _hot_chunk(
-            cfg, st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, st.depth, kc)
-        vs = _commit_hist(st.vs, st.ref_w, st.depth, kc, hist)
-        st = st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
-                         cur_rig=cur_rig, depth=st.depth + kc)
-        return (st, done + kc)
+            cfg, cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
+        vs = _commit_hist(vs, st.ref_w, depth, kc, hist)
+        return (cur_b, cur_bias, cur_rig, vs, depth + kc, done + kc)
 
-    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-    return st
+    cur_b, cur_bias, cur_rig, vs, depth, _ = jax.lax.while_loop(
+        cond, body,
+        (st.cur_b, st.cur_bias, st.cur_rig, st.vs, st.depth, jnp.int32(0)))
+    return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                       cur_rig=cur_rig, depth=depth)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -51,24 +51,27 @@ def extend_map_batched(cfg: EngineConfig, st: MapState, k) -> MapState:
     the chunk loop."""
     k = jnp.asarray(k, jnp.int32)
 
+    kmax = jnp.max(k)
+
     def cond(c):
-        _, done = c
-        return done < jnp.max(k)
+        return c[-1] < kmax
 
     def body(c):
-        st, done = c
+        cur_b, cur_bias, cur_rig, vs, depth, done = c
         kc = jnp.clip(k - done, 0, eng.KC)     # [B] seams this chunk
         cur_b, cur_bias, cur_rig, hist = jax.vmap(
             lambda cb, cbs, crg, rw, d, kk: eng._hot_chunk(
                 cfg, cb, cbs, crg, rw, d, kk)
-        )(st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, st.depth, kc)
-        vs = jax.vmap(eng._commit_hist)(st.vs, st.ref_w, st.depth, kc, hist)
-        st = st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
-                         cur_rig=cur_rig, depth=st.depth + kc)
-        return (st, done + jnp.int32(eng.KC))
+        )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
+        vs = jax.vmap(eng._commit_hist)(vs, st.ref_w, depth, kc, hist)
+        return (cur_b, cur_bias, cur_rig, vs, depth + kc,
+                done + jnp.int32(eng.KC))
 
-    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-    return st
+    cur_b, cur_bias, cur_rig, vs, depth, _ = jax.lax.while_loop(
+        cond, body,
+        (st.cur_b, st.cur_bias, st.cur_rig, st.vs, st.depth, jnp.int32(0)))
+    return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                       cur_rig=cur_rig, depth=depth)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
