@@ -73,15 +73,22 @@ def main():
         # quantify: fraction of differing entries
         max_seam_dev = float((vs_dev != vs_ref).mean())
 
-    # --- device timing: warmup (compile) + timed run
+    # --- device timing: warmup (compile) + timed run.
+    # NOTE measurement hygiene on this backend: the remote execution relay
+    # caches identical (program, inputs) pairs and block_until_ready can
+    # return before completion, so (a) the warmup uses a DIFFERENT image,
+    # (b) completion is forced with a small device_get fetch.
+    def sync(x):
+        np.asarray(jax.device_get(x))
+
+    st_w = init_state(cfg, make_test_image(n, seed=1))
+    st_w = extend_map(cfg, st_w, jnp.int32(args.seams))   # compile + warm
+    sync(st_w.depth)
     st = init_state(cfg, img)
-    st = extend_map(cfg, st, jnp.int32(1))       # compile + 1 seam
-    jax.block_until_ready(st.vs)
-    st = init_state(cfg, img)
-    jax.block_until_ready(st)   # H2D transfer + init are not carve time
+    sync(st.depth)              # H2D transfer + init are not carve time
     t0 = time.perf_counter()
     st = extend_map(cfg, st, jnp.int32(args.seams))
-    jax.block_until_ready(st.vs)
+    sync(st.depth)
     t1 = time.perf_counter()
     dev_sps = args.seams / (t1 - t0)
 

@@ -65,6 +65,12 @@ def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s):
     lane = _lane(H, Wb)
     pl = pref_is_left(s, cfg.side_switch_freq)
 
+    # NOTE: ops.dp_pallas.carve_step_pallas offers fused variants of this
+    # whole step (energy folded into the DP, compaction folded into the
+    # backtrack). Measured on v5e they LOSE to this split: the DP/backtrack
+    # kernels are row-sequential, so every vector op added to them extends
+    # the critical path, while energy/compaction are embarrassingly
+    # parallel and nearly free as XLA passes (see the kernel docstring).
     e = energy_from_plane(cur_b, w, cfg.nrg)
     if cfg.has_bias:
         e = jnp.where(lane < w, e + cur_bias, INF)

@@ -260,7 +260,9 @@ def _shift_folded(M, d: int, fill, f: int, L: int):
     return jnp.where(glane < dd, fill, out)
 
 
-_CHUNK = 8  # rows unrolled per fori iteration (amortizes loop overhead)
+# rows unrolled per fori iteration (amortizes loop overhead); env-tunable
+# for kernel experiments
+_CHUNK = int(os.environ.get("LQR_DP_CHUNK", "8"))
 
 
 def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
@@ -366,12 +368,12 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     """
     H, Wb = e_tot.shape
     f = _fold_factor(Wb)
-    if f == 1:
+    BR = min(_row_block(H), 128)   # cap block VMEM footprint
+    if f == 1 or BR % _CHUNK != 0:
         M_last, bp = dp_forward_pallas(e_tot, rig, pref_left, delta_x,
                                        has_rig)
         return backtrack_pallas(M_last, bp, pref_left, delta_x)
     L = Wb // f
-    BR = min(_row_block(H), 128)   # cap block VMEM footprint
     n = H // BR
     pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
     e_f = e_tot.reshape(H, f, L)
@@ -418,3 +420,354 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     lane = jnp.arange(L, dtype=jnp.int32)[None, None, :]
     glane = sub * L + lane
     return jnp.sum(oh * glane, axis=(1, 2), dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused per-seam kernels (production hot path)
+#
+# Two passes per seam, nothing else touches HBM:
+#   1. _dpef_kernel: energy computed on the fly from the reader plane
+#      (gradients + bias + width mask, bit-identical op order to
+#      core.energy.energy_from_plane) feeding the row DP. Reads the plane
+#      once, writes backpointers once — the separately materialized energy
+#      map (one full write + read per seam) disappears.
+#   2. _btcf_kernel: backtrack + seam-index broadcast + compaction of every
+#      carried plane in one reverse sweep. The seam position is carried as a
+#      one-hot; a cyclic log-reduction broadcasts the seam index to all
+#      lanes, giving both the [H] seam output and the >=seam compaction mask
+#      without any scalar reductions (0.5us each — they would dominate).
+#
+# Requirements (else callers fall back to the unfused path):
+# H % 8 == 0, fold factor > 1, and L = Wb/f a power of two (the cyclic
+# log-reduction needs it).
+# ---------------------------------------------------------------------------
+
+
+def _is_pow2(x: int) -> bool:
+    return x > 0 and (x & (x - 1)) == 0
+
+
+def fused_ok(H: int, Wb: int) -> bool:
+    f = _fold_factor(Wb)
+    return H % _CHUNK == 0 and f > 1 and _is_pow2(Wb // f)
+
+
+def _energy_row_folded(b_row, b_up, b_dn, w, glane, nrg: int, f: int,
+                       L: int):
+    """One energy row from reader-plane rows (SPEC.md §2 op order)."""
+    if nrg == 6:                                        # NULL
+        return jnp.zeros((f, L), jnp.float32)
+    br = _shift_folded(b_row, 1, jnp.float32(0), f, L)
+    br = jnp.where(glane >= w - 1, b_row, br)           # replicate right edge
+    bl = _shift_folded(b_row, -1, jnp.float32(0), f, L)
+    bl = jnp.where(glane == 0, b_row, bl)               # replicate left edge
+    gx = (br - bl) * jnp.float32(0.5)
+    if nrg in (0, 3):                                   # *_XABS
+        return jnp.abs(gx)
+    gy = (b_dn - b_up) * jnp.float32(0.5)
+    if nrg in (1, 4):                                   # *_SUMABS
+        return (jnp.abs(gx) + jnp.abs(gy)) * jnp.float32(0.5)
+    return jnp.sqrt(gx * gx + gy * gy)                  # *_NORM
+
+
+def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
+    it = iter(refs)
+    sc_ref = next(it)
+    b_ref = next(it)
+    bnext_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    rig_ref = next(it) if has_rig else None
+    m_ref = next(it)
+    bp_ref = next(it)
+    frontier = next(it)
+    prevb = next(it)
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    pref_left = sc_ref[0, 0] != 0
+    w = sc_ref[0, 1]
+    inf = jnp.float32(jnp.inf)
+    cands = _rank_consts(delta_x, H)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    CH = _CHUNK
+
+    def dp_row(M_prev, e_row, rig_row):
+        best = jnp.full((f, L), inf, jnp.float32)
+        best_rank = jnp.full((f, L), 127, jnp.int32)
+        bp = jnp.zeros((f, L), jnp.int32)
+        for dx, rl, rr, rigc in cands:
+            c = _shift_folded(M_prev, dx, inf, f, L)
+            if has_rig and dx != 0:
+                c = c + rig_row * rigc
+            rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
+            take = (c < best) | ((c == best) & (rank < best_rank))
+            best = jnp.where(take, c, best)
+            best_rank = jnp.where(take, rank, best_rank)
+            bp = jnp.where(take, jnp.int32(dx), bp)
+        return e_row + best, bp
+
+    def chunk_fn(k, carry):
+        M_prev, b_prev = carry
+        base = k * CH
+        bch = b_ref[pl.ds(base, CH)]                   # [CH, f, L]
+        bias_ch = bias_ref[pl.ds(base, CH)] if has_bias else None
+        rig_ch = rig_ref[pl.ds(base, CH)] if has_rig else None
+        nbase = jnp.minimum(base + CH, BR - 1)
+        in_row = b_ref[pl.ds(nbase, 1)]                # [1, f, L]
+        is_last = base + CH >= BR
+        nxt_row = jnp.where(is_last, bnext_ref[0:1], in_row)[0]
+        bps = []
+        for j in range(CH):
+            r = i * BR + base + j                      # global row (traced)
+            b_row = bch[j]
+            b_up = jnp.where(r == 0, b_row, b_prev if j == 0 else bch[j - 1])
+            b_dn_raw = bch[j + 1] if j + 1 < CH else nxt_row
+            b_dn = jnp.where(r == H - 1, b_row, b_dn_raw)
+            e = _energy_row_folded(b_row, b_up, b_dn, w, glane, nrg, f, L)
+            if has_bias:
+                e = e + bias_ch[j]
+            e_tot = jnp.where(glane < w, e, inf)
+            m_row, bp = dp_row(M_prev, e_tot,
+                               rig_ch[j] if has_rig else None)
+            # row 0 of the whole map has no predecessor row
+            m_row = jnp.where(r == 0, e_tot, m_row)
+            bp = jnp.where(r == 0, jnp.int32(0), bp)
+            bps.append(bp)
+            M_prev = m_row
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps)
+        return (M_prev, bch[CH - 1])
+
+    M0 = frontier[:, :]
+    b0 = prevb[:, :]
+    M_final, b_last = jax.lax.fori_loop(0, BR // CH, chunk_fn, (M0, b0))
+    frontier[:, :] = M_final
+    prevb[:, :] = b_last
+
+    @pl.when(i == n - 1)
+    def _():
+        m_ref[:, :] = M_final
+
+
+def _broadcast_sum(p, f: int, L: int):
+    """All-lanes broadcast of the total sum of p (cyclic log-reduce;
+    needs L, f powers of two)."""
+    t = 1
+    while t < L:
+        p = p + pltpu.roll(p, t, axis=1)
+        t *= 2
+    t = 1
+    while t < f:
+        p = p + pltpu.roll(p, t, axis=0)
+        t *= 2
+    return p
+
+
+def _btcf_kernel(*refs, BR, delta_x, has_bias, has_rig, f, L):
+    it = iter(refs)
+    sc_ref = next(it)
+    m_ref = next(it)
+    bp_ref = next(it)
+    b_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    rig_ref = next(it) if has_rig else None
+    seam_ref = next(it)
+    bo_ref = next(it)
+    biaso_ref = next(it) if has_bias else None
+    rigo_ref = next(it) if has_rig else None
+    oh_scr = next(it)
+
+    i = pl.program_id(0)
+    pref_left = sc_ref[0, 0] != 0
+    w = sc_ref[0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    W = f * L
+
+    @pl.when(i == 0)
+    def _():
+        m_row = m_ref[:, :]
+        mmin = jnp.min(m_row)
+        eq = m_row == mmin
+        left_x = jnp.min(jnp.where(eq, glane, W))
+        right_x = jnp.max(jnp.where(eq, glane, -1))
+        x0 = jnp.where(pref_left, left_x, right_x)
+        oh_scr[:, :] = (glane == x0).astype(jnp.int32)
+
+    CH = _CHUNK
+
+    def compact(a_row, ge):
+        out = jnp.where(ge, _shift_folded(a_row, 1, jnp.float32(0), f, L),
+                        a_row)
+        return jnp.where(glane < w - 1, out, jnp.float32(0))
+
+    def chunk_fn(k, oh):
+        base = BR - (k + 1) * CH
+        bp_chunk = bp_ref[pl.ds(base, CH)]
+        b_chunk = b_ref[pl.ds(base, CH)]
+        bias_chunk = bias_ref[pl.ds(base, CH)] if has_bias else None
+        rig_chunk = rig_ref[pl.ds(base, CH)] if has_rig else None
+        seams, bos, biasos, rigos = [None] * CH, [None] * CH, \
+            [None] * CH, [None] * CH
+        for j in range(CH - 1, -1, -1):
+            s_bcast = _broadcast_sum(oh * glane, f, L)   # seam idx everywhere
+            seams[j] = s_bcast[0:1, 0:128]
+            ge = glane >= s_bcast
+            bos[j] = compact(b_chunk[j], ge)
+            if has_bias:
+                biasos[j] = compact(bias_chunk[j], ge)
+            if has_rig:
+                rigos[j] = compact(rig_chunk[j], ge)
+            # walk to the previous row: x moves to x + bp[r, x]
+            bp_row = bp_chunk[j]
+            nxt = oh * (bp_row == 0).astype(jnp.int32)
+            for d in range(1, delta_x + 1):
+                m_neg = oh * (bp_row == -d).astype(jnp.int32)
+                m_pos = oh * (bp_row == d).astype(jnp.int32)
+                nxt = nxt + _shift_folded(m_neg, d, jnp.int32(0), f, L)
+                nxt = nxt + _shift_folded(m_pos, -d, jnp.int32(0), f, L)
+            oh = nxt
+        seam_ref[pl.ds(base, CH)] = jnp.concatenate(seams, axis=0)
+        bo_ref[pl.ds(base, CH)] = jnp.stack(bos)
+        if has_bias:
+            biaso_ref[pl.ds(base, CH)] = jnp.stack(biasos)
+        if has_rig:
+            rigo_ref[pl.ds(base, CH)] = jnp.stack(rigos)
+        return oh
+
+    oh_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, oh_scr[:, :])
+    oh_scr[:, :] = oh_final
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("delta_x", "has_bias", "has_rig", "nrg",
+                                    "fuse_energy"))
+def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
+                      has_bias: bool, has_rig: bool, nrg: int,
+                      fuse_energy: bool = False):
+    """One fused seam step on the reader plane.
+
+    cur_b/[cur_bias]/[cur_rig]: [H, Wb] f32 compacted planes; w: traced
+    current width; pref_left: traced bool. Returns (seam [H] i32, cur_b',
+    cur_bias', cur_rig') — bit-identical to energy_from_plane + find_seam +
+    roll/select compaction. Caller must check fused_ok(H, Wb).
+
+    fuse_energy folds the energy stencil into the sequential DP kernel.
+    Measured on v5e it LOSES: energy is embarrassingly parallel and cheap
+    as an XLA pass (~0.13 ms at 2048^2), while inside the row-sequential
+    kernel its ~15 vector ops/row extend the critical path (~+0.15 ms).
+    Default is therefore the XLA energy pass + fused
+    backtrack/seam/compact reverse sweep, which removes the 16 MB one-hot
+    write + read and the separate compaction pass.
+    """
+    H, Wb = cur_b.shape
+    f = _fold_factor(Wb)
+    L = Wb // f
+    BR = min(_row_block(H), 128)
+    n = H // BR
+    sc = jnp.stack([jnp.asarray(pref_left, jnp.int32),
+                    jnp.asarray(w, jnp.int32)]).reshape(1, 2)
+    b3 = cur_b.reshape(H, f, L)
+    blk = pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0))
+    blk_rev = pl.BlockSpec((BR, f, L), lambda i: (n - 1 - i, 0, 0))
+
+    if fuse_energy:
+        # inputs: [sc, b3, b3 (next-block 8-row slice for the gy halo),
+        # bias?, rig?]
+        fwd_in = [sc, b3, b3]
+        fwd_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk,
+            pl.BlockSpec(
+                (8, f, L),
+                lambda i: (jnp.minimum(i + 1, n - 1) * (BR // 8), 0, 0)),
+        ]
+        if has_bias:
+            fwd_in.append(cur_bias.reshape(H, f, L))
+            fwd_specs.append(blk)
+        if has_rig:
+            fwd_in.append(cur_rig.reshape(H, f, L))
+            fwd_specs.append(blk)
+
+        m_last, bp = pl.pallas_call(
+            functools.partial(_dpef_kernel, BR=BR, delta_x=delta_x,
+                              has_bias=has_bias, has_rig=has_rig, nrg=nrg,
+                              H=H, f=f, L=L),
+            grid=(n,),
+            in_specs=fwd_specs,
+            out_specs=(pl.BlockSpec((f, L), lambda i: (0, 0)), blk),
+            scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
+                            pltpu.VMEM((f, L), jnp.float32)],
+            out_shape=(jax.ShapeDtypeStruct((f, L), jnp.float32),
+                       jax.ShapeDtypeStruct((H, f, L), jnp.int32)),
+            interpret=_interpret(),
+        )(*fwd_in)
+    else:
+        # energy as a parallel XLA pass, DP on the precomputed total energy
+        from ..core.energy import energy_from_plane
+        from ..core.state import INF
+        lane2 = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+        e_tot = energy_from_plane(cur_b, w, nrg)
+        if has_bias:
+            e_tot = jnp.where(lane2 < w, e_tot + cur_bias, INF)
+        rig3 = cur_rig.reshape(H, f, L)
+        rig_spec = (blk if has_rig
+                    else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
+        m_last, bp = pl.pallas_call(
+            functools.partial(_dpf_kernel, BR=BR, delta_x=delta_x,
+                              has_rig=has_rig, H=H, f=f, L=L),
+            grid=(n,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk, rig_spec],
+            out_specs=(pl.BlockSpec((f, L), lambda i: (0, 0)), blk),
+            scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
+            out_shape=(jax.ShapeDtypeStruct((f, L), jnp.float32),
+                       jax.ShapeDtypeStruct((H, f, L), jnp.int32)),
+            interpret=_interpret(),
+        )(sc[:, 0:1], e_tot.reshape(H, f, L), rig3)
+
+    bwd_in = [sc, m_last, bp, b3]
+    bwd_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((f, L), lambda i: (0, 0)),
+        blk_rev,
+        blk_rev,
+    ]
+    out_specs = [pl.BlockSpec((BR, 128), lambda i: (n - 1 - i, 0)), blk_rev]
+    out_shape = [jax.ShapeDtypeStruct((H, 128), jnp.int32),
+                 jax.ShapeDtypeStruct((H, f, L), jnp.float32)]
+    if has_bias:
+        bwd_in.append(cur_bias.reshape(H, f, L))
+        bwd_specs.append(blk_rev)
+        out_specs.append(blk_rev)
+        out_shape.append(jax.ShapeDtypeStruct((H, f, L), jnp.float32))
+    if has_rig:
+        bwd_in.append(cur_rig.reshape(H, f, L))
+        bwd_specs.append(blk_rev)
+        out_specs.append(blk_rev)
+        out_shape.append(jax.ShapeDtypeStruct((H, f, L), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_btcf_kernel, BR=BR, delta_x=delta_x,
+                          has_bias=has_bias, has_rig=has_rig, f=f, L=L),
+        grid=(n,),
+        in_specs=bwd_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(*bwd_in)
+
+    seam = outs[0][:, 0]
+    b_out = outs[1].reshape(H, Wb)
+    k = 2
+    bias_out = cur_bias
+    rig_out = cur_rig
+    if has_bias:
+        bias_out = outs[k].reshape(H, Wb)
+        k += 1
+    if has_rig:
+        rig_out = outs[k].reshape(H, Wb)
+    return seam, b_out, bias_out, rig_out

@@ -93,3 +93,79 @@ def test_pallas_forward_costmap():
     assert np.array_equal(np.asarray(M_ref)[:W], np.asarray(M_pal)[:W])
     assert np.array_equal(np.asarray(bp_ref)[:, :W].astype(np.int32),
                           np.asarray(bp_pal)[:, :W])
+
+
+def _ref_carve_once(cur_b, cur_bias, cur_rig, w, pref, delta_x,
+                    has_bias, has_rig, nrg):
+    """The unfused reference: energy_from_plane + scan DP + roll/select
+    compaction (the exact ops the fused kernel replaces)."""
+    from lqr_tpu.core.energy import energy_from_plane
+    from lqr_tpu.core.state import INF
+    H, Wb = cur_b.shape
+    lane = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32), (H, Wb))
+    e = energy_from_plane(cur_b, w, nrg)
+    if has_bias:
+        e = jnp.where(lane < w, e + cur_bias, INF)
+    seam = jdp.find_seam(e, cur_rig, pref, delta_x, has_rig)
+    ge = lane >= seam[:, None]
+    keep = lane < (w - 1)
+
+    def compact(a):
+        out = jnp.where(ge, jnp.roll(a, -1, axis=1), a)
+        return jnp.where(keep, out, jnp.float32(0))
+
+    return (seam, compact(cur_b),
+            compact(cur_bias) if has_bias else cur_bias,
+            compact(cur_rig) if has_rig else cur_rig)
+
+
+@pytest.mark.parametrize("nrg", [0, 1, 2, 6])
+@pytest.mark.parametrize("masks", [(False, False), (True, False),
+                                   (True, True)])
+def test_fused_carve_step(nrg, masks):
+    """The fully fused energy+DP+backtrack+compact kernel pair must be
+    bit-identical to the unfused path (seam and all compacted planes)."""
+    has_bias, has_rig = masks
+    rng = np.random.default_rng(5)
+    H, W, Wb = 32, 1000, 1024
+    assert dp_pallas.fused_ok(H, Wb)
+    b = np.zeros((H, Wb), np.float32)
+    b[:, :W] = np.round(rng.random((H, W), dtype=np.float32) * 16) / 16
+    bias = np.zeros((H, Wb), np.float32)
+    rig = np.zeros((H, Wb), np.float32)
+    if has_bias:
+        bias[:, :W] = np.round(
+            rng.standard_normal((H, W)) * 4).astype(np.float32)
+    if has_rig:
+        rig[:, :W] = np.abs(rng.standard_normal((H, W))).astype(np.float32)
+    for pref in (True, False):
+        for dx in (1, 2):
+            args = (jnp.asarray(b), jnp.asarray(bias), jnp.asarray(rig),
+                    jnp.int32(W), jnp.bool_(pref), dx, has_bias, has_rig,
+                    nrg)
+            ref = _ref_carve_once(*args)
+            got = dp_pallas.carve_step_pallas(*args)
+            for r, g, name in zip(ref, got, ("seam", "b", "bias", "rig")):
+                assert np.array_equal(np.asarray(r), np.asarray(g)), \
+                    (name, pref, dx)
+
+
+def test_fused_carve_step_sqrt_energy_shrinking_width():
+    """GRAD_NORM + successive widths (the in-loop situation)."""
+    rng = np.random.default_rng(9)
+    H, W, Wb = 16, 512, 512
+    assert dp_pallas.fused_ok(H, Wb)
+    b = np.zeros((H, Wb), np.float32)
+    b[:, :W] = rng.random((H, W), dtype=np.float32)
+    bias = np.zeros((H, Wb), np.float32)
+    rig = np.zeros((H, Wb), np.float32)
+    bj = jnp.asarray(b)
+    for k in range(4):
+        w = W - k
+        args = (bj, jnp.asarray(bias), jnp.asarray(rig), jnp.int32(w),
+                jnp.bool_(k % 2 == 0), 1, False, False, 2)
+        ref = _ref_carve_once(*args)
+        got = dp_pallas.carve_step_pallas(*args)
+        assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0])), k
+        assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1])), k
+        bj = got[1]
