@@ -264,6 +264,11 @@ def _shift_folded(M, d: int, fill, f: int, L: int):
 # for kernel experiments
 _CHUNK = int(os.environ.get("LQR_DP_CHUNK", "8"))
 
+# backpointer dtype of the folded kernels: |dx| <= 10 fits int8, which
+# quarters the DP's store + backtrack's load traffic (env knob for
+# experiments / fallback)
+_BP_DT = jnp.int32 if os.environ.get("LQR_BP_I32") == "1" else jnp.int8
+
 
 def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
                 delta_x, has_rig, H, f, L):
@@ -305,7 +310,7 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
                 bp = jnp.where(first, jnp.int32(0), bp)
             bps.append(bp)
             M_prev = m_row
-        bp_ref[pl.ds(base, CH)] = jnp.stack(bps)
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
         return M_prev
 
     M_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, frontier[:, :])
@@ -339,7 +344,7 @@ def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
 
     def chunk_fn(k, oh):
         base = BR - (k + 1) * CH
-        bp_chunk = bp_ref[pl.ds(base, CH)]
+        bp_chunk = bp_ref[pl.ds(base, CH)].astype(jnp.int32)
         ohs = [None] * CH
         for j in range(CH - 1, -1, -1):
             ohs[j] = oh
@@ -398,7 +403,7 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
         out_shape=(
             jax.ShapeDtypeStruct((f, L), jnp.float32),
-            jax.ShapeDtypeStruct((H, f, L), jnp.int32),
+            jax.ShapeDtypeStruct((H, f, L), _BP_DT),
         ),
         interpret=_interpret(),
     )(pl_arr, e_f, rig_f)
@@ -536,7 +541,7 @@ def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
             bp = jnp.where(r == 0, jnp.int32(0), bp)
             bps.append(bp)
             M_prev = m_row
-        bp_ref[pl.ds(base, CH)] = jnp.stack(bps)
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
         return (M_prev, bch[CH - 1])
 
     M0 = frontier[:, :]
@@ -605,7 +610,7 @@ def _btcf_kernel(*refs, BR, delta_x, has_bias, has_rig, f, L):
 
     def chunk_fn(k, oh):
         base = BR - (k + 1) * CH
-        bp_chunk = bp_ref[pl.ds(base, CH)]
+        bp_chunk = bp_ref[pl.ds(base, CH)].astype(jnp.int32)
         b_chunk = b_ref[pl.ds(base, CH)]
         bias_chunk = bias_ref[pl.ds(base, CH)] if has_bias else None
         rig_chunk = rig_ref[pl.ds(base, CH)] if has_rig else None
@@ -701,7 +706,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
             scratch_shapes=[pltpu.VMEM((f, L), jnp.float32),
                             pltpu.VMEM((f, L), jnp.float32)],
             out_shape=(jax.ShapeDtypeStruct((f, L), jnp.float32),
-                       jax.ShapeDtypeStruct((H, f, L), jnp.int32)),
+                       jax.ShapeDtypeStruct((H, f, L), _BP_DT)),
             interpret=_interpret(),
         )(*fwd_in)
     else:
@@ -724,7 +729,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
             out_specs=(pl.BlockSpec((f, L), lambda i: (0, 0)), blk),
             scratch_shapes=[pltpu.VMEM((f, L), jnp.float32)],
             out_shape=(jax.ShapeDtypeStruct((f, L), jnp.float32),
-                       jax.ShapeDtypeStruct((H, f, L), jnp.int32)),
+                       jax.ShapeDtypeStruct((H, f, L), _BP_DT)),
             interpret=_interpret(),
         )(sc[:, 0:1], e_tot.reshape(H, f, L), rig3)
 
