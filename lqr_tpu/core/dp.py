@@ -58,7 +58,7 @@ def dp_forward(e_tot: jnp.ndarray, rig: jnp.ndarray, pref_left,
     dxs = sorted(rank_l.keys(), key=lambda d: rank_l[d])  # any fixed order
 
     def row_step(M_prev, row):
-        e_row, rig_row = row
+        e_row, rig_row = row if has_rig else (row, None)
         best = jnp.full_like(M_prev, INF)
         best_rank = jnp.full(M_prev.shape, 127, jnp.int32)
         bp = jnp.zeros(M_prev.shape, jnp.int8)
@@ -77,7 +77,8 @@ def dp_forward(e_tot: jnp.ndarray, rig: jnp.ndarray, pref_left,
         return M, bp
 
     M0 = e_tot[0]
-    M_last, bp_rest = jax.lax.scan(row_step, M0, (e_tot[1:], rig[1:]))
+    xs = (e_tot[1:], rig[1:]) if has_rig else e_tot[1:]
+    M_last, bp_rest = jax.lax.scan(row_step, M0, xs)
     bp = jnp.concatenate([jnp.zeros((1,) + bp_rest.shape[1:], jnp.int8),
                           bp_rest], axis=0)
     return M_last, bp

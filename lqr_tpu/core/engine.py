@@ -292,8 +292,10 @@ def materialize_all(cfg: EngineConfig, st: MapState, w, out_Wb: int):
     (write_aux_carver, /root/reference/src/render.c:902-916).
     """
     img = materialize_array(st.ref, st.vs, st.ref_w, w, out_Wb)
-    bias = materialize_array(st.bias, st.vs, st.ref_w, w, out_Wb)
-    rig = materialize_array(st.rig, st.vs, st.ref_w, w, out_Wb)
+    bias = (materialize_array(st.bias, st.vs, st.ref_w, w, out_Wb)
+            if st.bias is not None else None)
+    rig = (materialize_array(st.rig, st.vs, st.ref_w, w, out_Wb)
+           if st.rig is not None else None)
     aux = tuple(materialize_array(a, st.vs, st.ref_w, w, out_Wb)
                 for a in st.aux)
     return img, bias, rig, aux

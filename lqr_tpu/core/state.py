@@ -113,10 +113,19 @@ def init_state(cfg: EngineConfig, pixels, bias=None, rig=None,
         return jnp.pad(a, pads, constant_values=fill)
 
     pixels = pad_w(pixels)
-    bias = pad_w(jnp.zeros((H, w), jnp.float32) if bias is None
-                 else jnp.asarray(bias, jnp.float32))
-    rig = pad_w(jnp.zeros((H, w), jnp.float32) if rig is None
-                else jnp.asarray(rig, jnp.float32))
+    # absent bias/rig planes are stored as None (pytree-empty), not zero
+    # arrays — they would otherwise double the state's HBM footprint for
+    # the common no-mask case (cfg.has_bias/has_rig gate every use)
+    if cfg.has_bias:
+        assert bias is not None, "cfg.has_bias set but no bias given"
+        bias = pad_w(jnp.asarray(bias, jnp.float32))
+    else:
+        bias = None
+    if cfg.has_rig:
+        assert rig is not None, "cfg.has_rig set but no rig given"
+        rig = pad_w(jnp.asarray(rig, jnp.float32))
+    else:
+        rig = None
     aux_p = tuple(pad_w(jnp.asarray(a, jnp.uint8).reshape(H, w, -1))
                   for a in aux)
     assert tuple(a.shape[2] for a in aux_p) == tuple(cfg.aux_channels)

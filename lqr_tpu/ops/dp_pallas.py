@@ -123,11 +123,16 @@ def dp_forward_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     """Forward DP. e_tot: [H, Wb] f32 (+inf at invalid lanes, bias folded
     in). Returns (M_last [Wb] f32, bp [H, Wb] i32 backpointers)."""
     H, Wb = e_tot.shape
+    if rig is None:                # absent rigidity plane (state stores None)
+        assert not has_rig
+        rig = jnp.zeros((1, Wb), jnp.float32)
     BR = _row_block(H)
     grid = (H // BR,)
     pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
     kernel = functools.partial(_dp_kernel, BR=BR, delta_x=delta_x,
                                has_rig=has_rig, H=H)
+    rig_spec = (pl.BlockSpec((BR, Wb), lambda i: (i, 0)) if has_rig
+                else pl.BlockSpec((1, Wb), lambda i: (0, 0)))
     # NOTE: the side-preference scalar is a plain SMEM input, NOT a
     # PrefetchScalarGridSpec scalar — scalar-prefetch mode serializes the
     # block DMA pipeline on this backend (~1ms/call measured).
@@ -137,7 +142,7 @@ def dp_forward_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BR, Wb), lambda i: (i, 0)),
-            pl.BlockSpec((BR, Wb), lambda i: (i, 0)),
+            rig_spec,
         ],
         out_specs=(
             pl.BlockSpec((8, Wb), lambda i: (0, 0)),
@@ -372,6 +377,9 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     Drop-in replacement for core.dp.find_seam (bit-identical output).
     """
     H, Wb = e_tot.shape
+    if rig is None:                # absent rigidity plane (state stores None)
+        assert not has_rig
+        rig = jnp.zeros((1, Wb), jnp.float32)
     f = _fold_factor(Wb)
     BR = min(_row_block(H), 128)   # cap block VMEM footprint
     if f == 1 or BR % _CHUNK != 0:
@@ -382,7 +390,7 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     n = H // BR
     pl_arr = jnp.asarray(pref_left, jnp.int32).reshape(1, 1)
     e_f = e_tot.reshape(H, f, L)
-    rig_f = rig.reshape(H, f, L)
+    rig_f = rig.reshape(-1, f, L)
     # without rigidity, stream only a dummy 1-row rig block
     rig_spec = (pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0)) if has_rig
                 else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
@@ -717,7 +725,8 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
         e_tot = energy_from_plane(cur_b, w, nrg)
         if has_bias:
             e_tot = jnp.where(lane2 < w, e_tot + cur_bias, INF)
-        rig3 = cur_rig.reshape(H, f, L)
+        rig3 = (cur_rig if cur_rig is not None
+                else jnp.zeros((1, Wb), jnp.float32)).reshape(-1, f, L)
         rig_spec = (blk if has_rig
                     else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
         m_last, bp = pl.pallas_call(

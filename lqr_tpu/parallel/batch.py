@@ -31,9 +31,10 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
     B, H, Wb, C = pixels.shape
     assert (H, Wb, C) == (cfg.H, cfg.Wb, cfg.C)
     pixels = jnp.asarray(pixels, jnp.uint8)
-    z = jnp.zeros((B, H, Wb), jnp.float32)
-    bias = z if bias is None else jnp.asarray(bias, jnp.float32)
-    rig = z if rig is None else jnp.asarray(rig, jnp.float32)
+    # absent planes stay None (pytree-empty) — a [B, H, Wb] zero field per
+    # plane would dominate batch HBM at throughput batch sizes
+    bias = jnp.asarray(bias, jnp.float32) if cfg.has_bias else None
+    rig = jnp.asarray(rig, jnp.float32) if cfg.has_rig else None
     vs = jnp.zeros((B, H, Wb), jnp.int32)
     return MapState(ref=pixels, bias=bias, rig=rig, vs=vs, aux=(),
                     cur_b=reader_plane(pixels, cfg.nrg),

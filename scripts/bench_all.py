@@ -1,0 +1,240 @@
+"""All five BASELINE.json benchmark configs, one JSON line each.
+
+Configs (BASELINE.json "configs"):
+  1. 512x384 RGB, default params, remove 100 vertical seams
+  2. 1024x768 with preservation + discard bias masks and rigidity
+  3. 2048x2048 two-axis rescale with seam insertion to 150% width
+  4. Batched throughput: 4096x 1MP images, 25% width reduction
+  5. GAP animation: 300-frame keyframed sequence with per-frame seam maps
+
+Measurement hygiene on this backend (see bench.py): warmups use different
+inputs than the timed run (the remote relay caches identical executions)
+and completion is forced with a small device fetch.
+
+Usage: python scripts/bench_all.py [--quick] [--config N]
+  --quick samples config #4 (256 images instead of 4096; rate-identical)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import make_test_image  # noqa: E402
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.device_get(x))
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def config1(report):
+    """512x384 defaults, 100 vertical seams (liblqr defaults, CPU ref)."""
+    import jax.numpy as jnp
+    from lqr_tpu.core.state import EngineConfig, init_state, round_up
+    from lqr_tpu.core.engine import extend_map
+    from lqr_tpu import native
+    import jax
+
+    h, w, seams = 384, 512, 100
+    img = make_test_image(max(h, w))[:h, :w]
+    cfg = EngineConfig(H=h, Wb=round_up(w, 128), C=3,
+                       use_pallas=jax.default_backend() == "tpu")
+
+    st = init_state(cfg, make_test_image(max(h, w), seed=1)[:h, :w])
+    st = extend_map(cfg, st, jnp.int32(seams))
+    _sync(st.depth)
+    st = init_state(cfg, img)
+    _sync(st.depth)
+    t0 = time.perf_counter()
+    st = extend_map(cfg, st, jnp.int32(seams))
+    _sync(st.depth)
+    dt = time.perf_counter() - t0
+
+    vs_ref = native.carve(img, seams)
+    exact = bool(np.array_equal(np.asarray(st.vs)[:, :w], vs_ref))
+    cpu = seams / native.bench(img, seams)
+    report("cfg1_512x384_default_100seams", seams / dt, "seams/s",
+           (seams / dt) / cpu, bit_exact=exact)
+
+
+def config2(report):
+    """1024x768 with pres+disc masks and rigidity (feature-mask path)."""
+    import jax.numpy as jnp
+    from lqr_tpu.core.state import EngineConfig, init_state, round_up
+    from lqr_tpu.core.engine import extend_map
+    from lqr_tpu import native
+    import jax
+
+    h, w, seams = 768, 1024, 100
+    rng = np.random.default_rng(3)
+
+    def masks(h, w):
+        bias = np.zeros((h, w), np.float32)
+        bias[h // 4:h // 2, w // 4:w // 2] += 1.0    # preservation area
+        bias[h // 2:, w // 2:] -= 0.8                # discard area
+        rig = np.zeros((h, w), np.float32)
+        rig[:, :w // 3] = 100.0 * rng.random((h, w // 3)).astype(np.float32)
+        return bias, rig
+
+    img = make_test_image(max(h, w))[:h, :w]
+    bias, rig = masks(h, w)
+    cfg = EngineConfig(H=h, Wb=round_up(w, 128), C=3, has_bias=True,
+                       has_rig=True,
+                       use_pallas=jax.default_backend() == "tpu")
+
+    def pad(a):
+        return np.pad(a, ((0, 0), (0, cfg.Wb - w)))
+
+    st = init_state(cfg, make_test_image(max(h, w), seed=1)[:h, :w],
+                    bias=bias, rig=rig)
+    st = extend_map(cfg, st, jnp.int32(seams))
+    _sync(st.depth)
+    st = init_state(cfg, img, bias=bias, rig=rig)
+    _sync(st.depth)
+    t0 = time.perf_counter()
+    st = extend_map(cfg, st, jnp.int32(seams))
+    _sync(st.depth)
+    dt = time.perf_counter() - t0
+
+    vs_ref = native.carve(img, seams, bias=bias, rig=rig)
+    exact = bool(np.array_equal(np.asarray(st.vs)[:, :w], vs_ref))
+    cpu_t = native.bench(img, 12)
+    cpu = 12 / cpu_t
+    report("cfg2_1024x768_masks_rigidity_100seams", seams / dt, "seams/s",
+           (seams / dt) / cpu, bit_exact=exact)
+
+
+def config3(report):
+    """2048^2 two-axis rescale with insertion to 150% width."""
+    from lqr_tpu import Carver
+
+    n = 2048
+    img = make_test_image(n)
+    c_w = Carver(make_test_image(n, seed=1))       # warm compile
+    c_w.resize(int(n * 1.5), n - 100)
+    _sync(c_w.get_image()[:1, :1])
+
+    c = Carver(img)
+    t0 = time.perf_counter()
+    c.resize(int(n * 1.5), n - 100)
+    out = c.get_image()
+    _sync(out[:1, :1])
+    dt = time.perf_counter() - t0
+    # seam ops: 1024 inserted width seams (mapped once) + 100 removed rows
+    seam_ops = n // 2 + 100
+    assert out.shape == (n - 100, int(n * 1.5), 3)
+    report("cfg3_2048sq_two_axis_enlarge150", seam_ops / dt, "seam_ops/s",
+           None, wall_s=round(dt, 3))
+
+
+def config4(report, n_images=4096, wave=256, seams=256):
+    """Batched throughput: 1MP images, 25% width reduction (1024->768).
+
+    Reports the device carve rate (the BASELINE metric) and the end-to-end
+    wall time including host image prep + H2D staging as extra fields.
+    """
+    from lqr_tpu.parallel.batch import BatchCarver
+
+    def mk_wave(seed, B):
+        r = np.random.default_rng(seed)
+        base = make_test_image(1024, seed=seed)
+        out = []
+        for i in range(B):
+            dx, dy = int(r.integers(0, 64)), int(r.integers(0, 64))
+            out.append(np.roll(base, (dy, dx), (0, 1)))
+        return out
+
+    bc = BatchCarver(mk_wave(10_000, wave))        # warm compile
+    bc.carve(seams)
+    _sync(bc.state.depth)
+
+    waves = max(1, n_images // wave)
+    done = 0
+    carve_s = 0.0
+    t_all = time.perf_counter()
+    for wv in range(waves):
+        bc = BatchCarver(mk_wave(wv, wave))
+        _sync(bc.state.depth)                     # staging done
+        t0 = time.perf_counter()
+        bc.carve(seams)
+        _sync(bc.state.depth)
+        carve_s += time.perf_counter() - t0
+        done += wave
+    wall = time.perf_counter() - t_all
+    report("cfg4_batched_1MP_25pct_reduction",
+           done * seams / carve_s, "img_seams/s", None,
+           images=done, images_per_s_device=round(done / carve_s, 2),
+           carve_s=round(carve_s, 1), end_to_end_wall_s=round(wall, 1))
+
+
+def config5(report, n_frames=300):
+    """GAP animation: 300-frame keyframed schedule, per-frame seam maps."""
+    import jax.numpy as jnp
+    from lqr_tpu.config import LqrConfig
+    from lqr_tpu.gap import schedule
+    from lqr_tpu.parallel.batch import (BatchCarver, extend_map_batched,
+                                        materialize_batched)
+
+    h, w = 360, 640
+    base = make_test_image(max(h, w))[:h, :w]
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(n_frames)]
+    cfg_from = LqrConfig(new_width=w, new_height=h)       # identity
+    cfg_to = LqrConfig(new_width=w - 160, new_height=h)   # -160 seams
+    widths = np.asarray([c.new_width for c in
+                         schedule(cfg_from, cfg_to, n_frames)], np.int32)
+    seam_counts = (w - widths).astype(np.int32)
+
+    def run(frs, counts):
+        bc = BatchCarver(frs)
+        bc.state = extend_map_batched(bc.cfg, bc.state, jnp.asarray(counts))
+        out = materialize_batched(bc.cfg, bc.state,
+                                  jnp.asarray(w - counts), bc.cfg.Wb)
+        _sync(out[:1, :1, :1])
+        return out
+
+    run(frames[: n_frames // 2], seam_counts[: n_frames // 2])  # warm
+    t0 = time.perf_counter()
+    run(frames, seam_counts)
+    dt = time.perf_counter() - t0
+    report("cfg5_gap_300frames_keyframed", n_frames / dt, "frames/s", None,
+           total_seams=int(seam_counts.sum()), wall_s=round(dt, 2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="run only config N (1-5); 0 = all")
+    ap.add_argument("--quick", action="store_true",
+                    help="sample config #4 at 256 images")
+    args = ap.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+
+    def report(metric, value, unit, vs_baseline, **extra):
+        _emit({"metric": metric, "value": round(float(value), 3),
+               "unit": unit,
+               "vs_baseline": (round(float(vs_baseline), 2)
+                               if vs_baseline is not None else None),
+               "backend": backend, **extra})
+
+    cfgs = {1: config1, 2: config2, 3: config3,
+            4: (lambda r: config4(r, n_images=256 if args.quick else 4096)),
+            5: config5}
+    todo = [args.config] if args.config else [1, 2, 3, 4, 5]
+    for i in todo:
+        cfgs[i](report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
