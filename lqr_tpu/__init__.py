@@ -18,10 +18,12 @@ Layers (mirroring SURVEY.md §1, re-architected TPU-first):
 from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
                      OutputTarget, ScalebackMode, MaskBehavior, AuxLayerType)
 from .carver import Carver
+from .checkpoint import save_carver, load_carver
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LqrConfig", "SeamColors", "EnergyFunc", "ResizeOrder", "OutputTarget",
-    "ScalebackMode", "MaskBehavior", "AuxLayerType", "Carver", "__version__",
+    "ScalebackMode", "MaskBehavior", "AuxLayerType", "Carver",
+    "save_carver", "load_carver", "__version__",
 ]

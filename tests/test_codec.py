@@ -1,0 +1,101 @@
+"""Native C++ image codec vs PIL (decode exactness, round trips,
+marshalling ops vs NumPy)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from lqr_tpu.utils import codec
+from lqr_tpu.utils.image_io import load_image, save_image
+
+
+def _pil_png_bytes(arr, mode):
+    from PIL import Image as P
+    buf = io.BytesIO()
+    P.fromarray(arr if arr.ndim == 3 else arr, mode=mode).save(buf, "PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("c,mode", [(1, "L"), (3, "RGB"), (4, "RGBA")])
+def test_decode_pil_encoded_png(rng, c, mode):
+    """PIL's encoder uses adaptive per-line filters — decoding its output
+    exercises all five unfilter paths."""
+    h, w = 41, 57
+    arr = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+    # smooth a bit so PIL picks varied filters
+    arr = ((arr.astype(np.int32) + np.roll(arr, 1, 1)) // 2).astype(np.uint8)
+    pil_arr = arr[:, :, 0] if c == 1 else arr
+    data = _pil_png_bytes(pil_arr, mode)
+    got = codec.decode(data)
+    assert got.shape == (h, w, c)
+    assert np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_roundtrip(rng, c):
+    h, w = 33, 29
+    arr = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+    data = codec.encode(arr, "png")
+    got = codec.decode(data)
+    assert np.array_equal(got, arr)
+
+
+def test_png_decodable_by_pil(rng):
+    from PIL import Image as P
+    arr = rng.integers(0, 256, (20, 31, 3)).astype(np.uint8)
+    data = codec.encode(arr, "png")
+    got = np.asarray(P.open(io.BytesIO(data)))
+    assert np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_pnm_roundtrip(rng, c):
+    arr = rng.integers(0, 256, (17, 23, c)).astype(np.uint8)
+    data = codec.encode(arr, "pnm")
+    got = codec.decode(data)
+    assert np.array_equal(got, arr)
+
+
+def test_unsupported_falls_back(tmp_path, rng):
+    """Palette PNGs are rejected by the native codec; load_image must
+    still read them (PIL fallback)."""
+    from PIL import Image as P
+    arr = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+    p = tmp_path / "pal.png"
+    P.fromarray(arr).convert("P", palette=P.ADAPTIVE).save(p)
+    got = load_image(str(p))
+    assert got.shape[:2] == (10, 12)
+
+
+def test_save_load_file_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 256, (19, 26, 3)).astype(np.uint8)
+    for name in ("a.png", "a.ppm"):
+        p = tmp_path / name
+        save_image(str(p), arr)
+        assert np.array_equal(load_image(str(p)), arr)
+
+
+def test_interleave_roundtrip(rng):
+    arr = rng.integers(0, 256, (14, 21, 3)).astype(np.uint8)
+    planes = codec.deinterleave(arr)
+    assert np.array_equal(planes, np.moveaxis(arr, 2, 0))
+    assert np.array_equal(codec.interleave(planes), arr)
+
+
+def test_place_mask_matches_numpy(rng):
+    """The C++ mask placement must match the SPEC.md §3 strength law."""
+    H, W = 30, 40
+    mask = rng.integers(0, 256, (12, 16, 4)).astype(np.uint8)
+    ox, oy, factor = 5, -3, 1.7
+    got = codec.place_mask(mask, H, W, ox, oy, factor)
+
+    exp = np.zeros((H, W), np.float32)
+    s = mask[:, :, :3].astype(np.float32).sum(axis=2) / (255.0 * 3)
+    s = s * (mask[:, :, 3].astype(np.float32) / 255.0)
+    for my in range(12):
+        for mx in range(16):
+            y, x = my + oy, mx + ox
+            if 0 <= y < H and 0 <= x < W:
+                exp[y, x] += s[my, mx] * factor
+    np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
