@@ -19,11 +19,13 @@ from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
                      OutputTarget, ScalebackMode, MaskBehavior, AuxLayerType)
 from .carver import Carver
 from .checkpoint import save_carver, load_carver
+from .errors import LqrError, LqrConfigError, LqrImageError, LqrStateError
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "LqrConfig", "SeamColors", "EnergyFunc", "ResizeOrder", "OutputTarget",
     "ScalebackMode", "MaskBehavior", "AuxLayerType", "Carver",
-    "save_carver", "load_carver", "__version__",
+    "save_carver", "load_carver", "LqrError", "LqrConfigError",
+    "LqrImageError", "LqrStateError", "__version__",
 ]

@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from .config import (EnergyFunc, ResizeOrder, DEFAULT_SIDE_SWITCH_FREQUENCY,
-                     MAX_ENL_STEP, MIN_ENL_STEP)
+                     MAX_DELTA_X, MAX_ENL_STEP, MIN_ENL_STEP)
+from .errors import (LqrConfigError, LqrImageError, LqrStateError,
+                     check_channels, check_target_size)
 from .core.state import EngineConfig, init_state, round_up
 from .core import engine as eng
 from . import oracle as _oracle  # strength() reader shared with the oracle
@@ -71,7 +73,13 @@ class Carver:
         if pixels.ndim == 2:
             pixels = pixels[:, :, None]
         h, w, c = pixels.shape
-        assert 1 <= c <= 4
+        check_channels(c)
+        if not 0 <= int(delta_x) <= MAX_DELTA_X:
+            raise LqrConfigError(
+                f"delta_x={delta_x} out of range 0..{MAX_DELTA_X} "
+                f"(/root/reference/src/interface.c:47)")
+        if rigidity < 0:
+            raise LqrConfigError(f"rigidity={rigidity} must be >= 0")
         self.delta_x = int(delta_x)
         self.rigidity = float(rigidity)
         self.nrg = EnergyFunc.GRAD_XABS
@@ -111,7 +119,11 @@ class Carver:
         self.side_switch_freq = int(f)
 
     def set_enl_step(self, step: float):
-        assert MIN_ENL_STEP <= step <= MAX_ENL_STEP, step
+        if not MIN_ENL_STEP <= step <= MAX_ENL_STEP:
+            raise LqrConfigError(
+                f"enl_step={step} out of range [{MIN_ENL_STEP}, "
+                f"{MAX_ENL_STEP}] (UI 100.1%-200%, "
+                f"/root/reference/src/interface.c:2182-2186)")
         self.enl_step = float(step)
 
     def set_dump_vmaps(self, flag: bool = True):
@@ -165,16 +177,28 @@ class Carver:
         a = np.asarray(aux_pixels, np.uint8)
         if a.ndim == 2:
             a = a[:, :, None]
-        assert a.shape[:2] == (self._ref_h, self._ref_w), (
-            a.shape, (self._ref_h, self._ref_w))
+        if a.shape[:2] != (self._ref_h, self._ref_w):
+            raise LqrImageError(
+                f"attached aux carver is {a.shape[1]}x{a.shape[0]}, main "
+                f"image is {self._ref_w}x{self._ref_h}; attached carvers "
+                f"must match the main size "
+                f"(/root/reference/src/render.c:881-900)")
+        check_channels(a.shape[2], "aux carver")
         self._aux.append(jnp.asarray(a))
         self._drop_map()
 
     # -- map plumbing -------------------------------------------------------
 
     def _drop_map(self):
-        """Invalidate an (uncarved) map so config changes take effect."""
-        assert self._state is None or int(self._state.depth) == 0 or True
+        """Invalidate an (uncarved) map so config changes take effect.
+
+        Callers must have committed carved seams first
+        (``_flatten_if_carved``); dropping a carved map would silently lose
+        the seam history."""
+        if self._state is not None and int(jax.device_get(self._state.depth)):
+            raise LqrStateError(
+                "internal: dropping a map with carved seams — this is a "
+                "bug; callers must flatten first")
         self._state = None
         self._cfg = None
 
@@ -280,7 +304,10 @@ class Carver:
         cur = self._w if orientation == 0 else self._h
         if target == cur:
             return
-        assert target >= 1
+        if target < 1:
+            raise LqrConfigError(
+                f"target {'width' if orientation == 0 else 'height'} "
+                f"{target} is invalid; must be >= 1")
         while True:
             self._ensure_map(orientation)
             ref = self._ref_w if orientation == 0 else self._ref_h

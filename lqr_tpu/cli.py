@@ -25,7 +25,9 @@ import sys
 import numpy as np
 
 from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
-                     OutputTarget, ScalebackMode)
+                     OutputTarget, ScalebackMode, MAX_COEFF, MAX_DELTA_X,
+                     MAX_RIGIDITY, MAX_ENL_STEP, MIN_ENL_STEP)
+from .errors import LqrError, LqrConfigError, check_target_size
 from .image_model import Image, Layer
 from .render import init_carver, render_noninteractive
 from .gap import schedule
@@ -89,8 +91,36 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _xy(s: str) -> tuple[int, int]:
-    x, y = s.split(",")
-    return int(x), int(y)
+    try:
+        x, y = s.split(",")
+        return int(x), int(y)
+    except ValueError:
+        raise LqrConfigError(
+            f"offset {s!r} is not of the form X,Y (integers)") from None
+
+
+def _validate(args) -> None:
+    """User-facing parameter validation at the CLI boundary (the
+    IMAGE_CHECK/LAYER_CHECK analog, /root/reference/src/main.h:131-153)."""
+    check_target_size(args.width, args.height)
+    if not 0 <= args.delta_x <= MAX_DELTA_X:
+        raise LqrConfigError(
+            f"--delta-x {args.delta_x} out of range 0..{MAX_DELTA_X}")
+    if not 0 <= args.rigidity <= MAX_RIGIDITY:
+        raise LqrConfigError(
+            f"--rigidity {args.rigidity} out of range 0..{MAX_RIGIDITY:g}")
+    for name in ("pres_coeff", "disc_coeff"):
+        v = getattr(args, name)
+        if not 0 <= v <= MAX_COEFF:
+            raise LqrConfigError(
+                f"--{name.replace('_', '-')} {v} out of range 0..{MAX_COEFF}")
+    if not MIN_ENL_STEP * 100 <= args.enl_step <= MAX_ENL_STEP * 100:
+        raise LqrConfigError(
+            f"--enl-step {args.enl_step} out of range "
+            f"{MIN_ENL_STEP * 100:g}..{MAX_ENL_STEP * 100:g} (percent)")
+    for path in args.input + [args.pres, args.disc, args.rigmask]:
+        if path and not os.path.exists(path):
+            raise LqrConfigError(f"no such file: {path}")
 
 
 def config_from_args(args) -> LqrConfig:
@@ -141,7 +171,14 @@ def _out_path(inp: str, args, i: int, n: int) -> str:
 
 
 def _colors(args) -> SeamColors:
-    v = [float(x) for x in args.seam_colors.split(",")]
+    try:
+        v = [float(x) for x in args.seam_colors.split(",")]
+        if len(v) != 6:
+            raise ValueError(len(v))
+    except ValueError:
+        raise LqrConfigError(
+            f"--seam-colors {args.seam_colors!r} is not 6 comma-separated "
+            f"floats R1,G1,B1,R2,G2,B2") from None
     return SeamColors(*v)
 
 
@@ -162,6 +199,17 @@ def run_one(path: str, cfg: LqrConfig, args, out_path: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except LqrError as e:
+        # user-facing error channel (the g_message analog,
+        # /root/reference/src/render.c:42-62)
+        print(f"lqr-tpu: error: {e}", file=sys.stderr)
+        return 1
+
+
+def _run(args) -> int:
+    _validate(args)
     cfg = config_from_args(args)
     inputs = args.input
     if args.gap_width or args.gap_height:
