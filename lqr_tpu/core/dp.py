@@ -47,25 +47,38 @@ def shift_frontier(M: jnp.ndarray, dx: int) -> jnp.ndarray:
 
 
 def dp_forward(e_tot: jnp.ndarray, rig: jnp.ndarray, pref_left,
-               delta_x: int, has_rig: bool):
+               delta_x: int, has_rig: bool, h=None, rigc_vec=None):
     """Run the DP. e_tot: [H, Wb] f32 (+inf at invalid lanes, bias included);
     rig: [H, Wb] f32; pref_left: traced bool scalar.
 
     Returns (M_last [Wb] f32, bp [H, Wb] int8). bp[0] = 0.
+
+    Ragged batching (per-image true height inside a padded buffer):
+    - h (traced, optional): rows >= h are PASS-THROUGH — the frontier rides
+      through unchanged (M = M_prev, bp = 0), so the final-row argmin and
+      the backtracked seam are bit-identical to running on an unpadded
+      [h, Wb] map.
+    - rigc_vec (traced [delta_x + 1] f32, optional): per-image rigidity
+      step coefficients f32(|dx|^1.5 / h), host-rounded exactly once
+      (SPEC.md §4); defaults to the static-H constants.
     """
     H = e_tot.shape[0]
     rank_l, rank_r = rank_tables(delta_x)
     dxs = sorted(rank_l.keys(), key=lambda d: rank_l[d])  # any fixed order
+    ragged = h is not None
 
     def row_step(M_prev, row):
-        e_row, rig_row = row if has_rig else (row, None)
+        if ragged:
+            row_idx, row = row[0], row[1:]
+        e_row, rig_row = row if has_rig else (row[0], None)
         best = jnp.full_like(M_prev, INF)
         best_rank = jnp.full(M_prev.shape, 127, jnp.int32)
         bp = jnp.zeros(M_prev.shape, jnp.int8)
         for dx in dxs:
             c = shift_frontier(M_prev, dx)
             if has_rig and dx != 0:
-                rigc = jnp.float32((abs(dx) ** 1.5) / float(H))
+                rigc = (rigc_vec[abs(dx)] if rigc_vec is not None
+                        else jnp.float32((abs(dx) ** 1.5) / float(H)))
                 c = c + rig_row * rigc
             rank = jnp.where(pref_left,
                              jnp.int32(rank_l[dx]), jnp.int32(rank_r[dx]))
@@ -74,10 +87,16 @@ def dp_forward(e_tot: jnp.ndarray, rig: jnp.ndarray, pref_left,
             best_rank = jnp.where(take, rank, best_rank)
             bp = jnp.where(take, jnp.int8(dx), bp)
         M = e_row + best
+        if ragged:
+            pad = row_idx >= h
+            M = jnp.where(pad, M_prev, M)
+            bp = jnp.where(pad, jnp.int8(0), bp)
         return M, bp
 
     M0 = e_tot[0]
-    xs = (e_tot[1:], rig[1:]) if has_rig else e_tot[1:]
+    xs = (e_tot[1:],) + ((rig[1:],) if has_rig else ())
+    if ragged:
+        xs = (jnp.arange(1, H, dtype=jnp.int32),) + xs
     M_last, bp_rest = jax.lax.scan(row_step, M0, xs)
     bp = jnp.concatenate([jnp.zeros((1,) + bp_rest.shape[1:], jnp.int8),
                           bp_rest], axis=0)
@@ -103,6 +122,8 @@ def backtrack(M_last: jnp.ndarray, bp: jnp.ndarray, pref_left) -> jnp.ndarray:
     return xs_rev[::-1]
 
 
-def find_seam(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
-    M_last, bp = dp_forward(e_tot, rig, pref_left, delta_x, has_rig)
+def find_seam(e_tot, rig, pref_left, delta_x: int, has_rig: bool,
+              h=None, rigc_vec=None):
+    M_last, bp = dp_forward(e_tot, rig, pref_left, delta_x, has_rig,
+                            h=h, rigc_vec=rigc_vec)
     return backtrack(M_last, bp, pref_left)

@@ -67,11 +67,16 @@ def reader_plane(img: jnp.ndarray, nrg: int) -> jnp.ndarray:
     return reader(img, nrg in _LUMA_FAMILY)
 
 
-def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
+def gradients(b: jnp.ndarray, w, h=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Edge-replicated central differences on the first w lanes (SPEC.md §2).
 
     b: [H, Wb] f32 (lanes >= w are garbage/zero); w: traced current width.
     Lanes >= w of the result are garbage — callers mask them to +inf.
+
+    h (traced, optional): the image's true height when the plane is padded
+    to a taller buffer (ragged batching). The bottom-edge replication then
+    happens at row h-1, bit-identical to an unpadded [h, Wb] plane; rows
+    >= h are garbage — the DP treats them as pass-through rows.
     """
     H, Wb = b.shape
     lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
@@ -82,16 +87,20 @@ def gradients(b: jnp.ndarray, w) -> tuple[jnp.ndarray, jnp.ndarray]:
     gx = (br - bl) * jnp.float32(0.5)
     bd = jnp.concatenate([b[1:], b[-1:]], axis=0)   # row below (replicated)
     bu = jnp.concatenate([b[:1], b[:-1]], axis=0)   # row above (replicated)
+    if h is not None:
+        row = jnp.arange(H, dtype=jnp.int32)[:, None]
+        bd = jnp.where(row >= h - 1, b, bd)   # replicate at the TRUE bottom
     gy = (bd - bu) * jnp.float32(0.5)
     return gx, gy
 
 
-def energy_from_plane(b: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
+def energy_from_plane(b: jnp.ndarray, w, nrg: int, h=None) -> jnp.ndarray:
     """Energy map from a precomputed reader plane. Lanes >= w get +inf.
 
     Bit-identical to ``energy`` on the interleaved image: the reader value
     of a pixel is independent of carving, so gradient inputs are the same
-    f32 values in the same op order.
+    f32 values in the same op order. ``h``: true image height for padded
+    (ragged-batch) planes — see ``gradients``.
     """
     H, Wb = b.shape
     lane = jnp.arange(Wb, dtype=jnp.int32)[None, :]
@@ -99,7 +108,7 @@ def energy_from_plane(b: jnp.ndarray, w, nrg: int) -> jnp.ndarray:
     if nrg == EnergyFunc.NULL:
         e = jnp.zeros((H, Wb), jnp.float32)
     else:
-        gx, gy = gradients(b, w)
+        gx, gy = gradients(b, w, h)
         if nrg in (EnergyFunc.GRAD_XABS, EnergyFunc.LUMA_GRAD_XABS):
             e = jnp.abs(gx)
         elif nrg in (EnergyFunc.GRAD_SUMABS, EnergyFunc.LUMA_GRAD_SUMABS):

@@ -50,17 +50,22 @@ def pref_is_left(s, freq: int):
     return (((s - 1) // freq) % 2) == 0
 
 
-def _find_seam(cfg: EngineConfig, e, rig, pl):
+def _find_seam(cfg: EngineConfig, e, rig, pl, h=None, rigc_vec=None):
     if cfg.use_pallas:
+        assert h is None and rigc_vec is None, (
+            "ragged heights ride the scan DP, not the Pallas kernels")
         from ..ops.dp_pallas import find_seam_pallas
         return find_seam_pallas(e, rig, pl, cfg.delta_x, cfg.has_rig)
-    return dp_mod.find_seam(e, rig, pl, cfg.delta_x, cfg.has_rig)
+    return dp_mod.find_seam(e, rig, pl, cfg.delta_x, cfg.has_rig,
+                            h=h, rigc_vec=rigc_vec)
 
 
-def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s):
+def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s,
+                h=None, rigc_vec=None):
     """Find seam s (global 1-based index) on the compacted planes at width
     w and compact them. Returns (seam [H] i32, cur_b', cur_bias',
-    cur_rig')."""
+    cur_rig'). h / rigc_vec: per-image true height + rigidity coefficients
+    for ragged batches (see dp.dp_forward)."""
     H, Wb = cfg.H, cfg.Wb
     lane = _lane(H, Wb)
     pl = pref_is_left(s, cfg.side_switch_freq)
@@ -71,11 +76,11 @@ def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s):
     # kernels are row-sequential, so every vector op added to them extends
     # the critical path, while energy/compaction are embarrassingly
     # parallel and nearly free as XLA passes (see the kernel docstring).
-    e = energy_from_plane(cur_b, w, cfg.nrg)
+    e = energy_from_plane(cur_b, w, cfg.nrg, h=h)
     if cfg.has_bias:
         e = jnp.where(lane < w, e + cur_bias, INF)
 
-    seam = _find_seam(cfg, e, cur_rig, pl)
+    seam = _find_seam(cfg, e, cur_rig, pl, h=h, rigc_vec=rigc_vec)
 
     ge = lane >= seam[:, None]
     keep_m = lane < (w - 1)
@@ -117,7 +122,8 @@ def seam_step(cfg: EngineConfig, st: MapState) -> MapState:
                        cur_rig=cur_rig, depth=st.depth + 1)
 
 
-def _hot_chunk(cfg: EngineConfig, cur_b, cur_bias, cur_rig, ref_w, d0, kc):
+def _hot_chunk(cfg: EngineConfig, cur_b, cur_bias, cur_rig, ref_w, d0, kc,
+               h=None, rigc_vec=None):
     """Carve kc (traced, <= KC) seams from the compacted planes.
 
     Returns (cur_b', cur_bias', cur_rig', hist [KC, H] i32) where hist[j] is
@@ -144,7 +150,8 @@ def _hot_chunk(cfg: EngineConfig, cur_b, cur_bias, cur_rig, ref_w, d0, kc):
     def body(j, c):
         b, bias, rig, hist = unpack(c)
         d = d0 + j
-        seam, b, bias, rig = _carve_once(cfg, b, bias, rig, ref_w - d, d + 1)
+        seam, b, bias, rig = _carve_once(cfg, b, bias, rig, ref_w - d, d + 1,
+                                         h=h, rigc_vec=rigc_vec)
         hist = jax.lax.dynamic_update_slice(hist, seam[None], (j, 0))
         return pack(b, bias, rig, hist)
 

@@ -5,9 +5,18 @@ none"); this module is the TPU-native replacement for running N GIMP
 processes: thousands of images carve together on one chip (benchmark config
 #4: 4096x 1MP, 25% width reduction).
 
-Ragged batches are padded to a common [H, Wb] with per-image widths; the
-engine's traced-width masking makes seam outputs invariant to padding.
+Ragged batches are padded to a common [H, Wb] with per-image widths AND
+heights. Padding is semantically invisible: lanes >= width are masked to
++inf by the energy law, and rows >= height are DP pass-through rows
+(dp.dp_forward) with the bottom-edge gradient replicated at the true
+height, so each image's seam sequence is bit-identical to carving it solo.
 Per-image seam counts may differ: extension is masked per image.
+
+Full feature surface of the solo Carver: bias fields (pres/disc masks),
+rigidity + rigmask (per-image |dx|^1.5 / h coefficients, host-rounded
+exactly once like the solo path), and attached aux carvers that undergo
+the identical seam sequence (lqr_carver_attach,
+/root/reference/src/render.c:243-248).
 """
 
 from __future__ import annotations
@@ -20,12 +29,24 @@ import jax.numpy as jnp
 
 from ..core.state import EngineConfig, MapState, round_up
 from ..core import engine as eng
+from ..errors import LqrImageError
+
+
+def rigc_table(heights, delta_x: int) -> np.ndarray:
+    """Per-image rigidity step coefficients [B, delta_x + 1] f32:
+    rigc[b, m] = f32(m^1.5 / h_b), rounded exactly once (SPEC.md §4)."""
+    heights = np.asarray(heights, np.int64)
+    out = np.zeros((len(heights), delta_x + 1), np.float32)
+    for m in range(1, delta_x + 1):
+        out[:, m] = ((m ** 1.5) / heights).astype(np.float32)
+    return out
 
 
 def init_state_batched(cfg: EngineConfig, pixels, widths,
-                       bias=None, rig=None) -> MapState:
-    """pixels: [B, H, Wb, C] u8 (padded; lanes >= widths[b] zero);
-    widths: [B] int32. bias/rig: [B, H, Wb] f32 or None."""
+                       bias=None, rig=None, aux=()) -> MapState:
+    """pixels: [B, H, Wb, C] u8 (padded; lanes >= widths[b] and rows >=
+    heights[b] zero); widths: [B] int32. bias/rig: [B, H, Wb] f32 or None.
+    aux: tuple of [B, H, Wb, C_i] u8 attached carvers."""
     from ..core.energy import reader_plane
 
     B, H, Wb, C = pixels.shape
@@ -35,8 +56,10 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
     # plane would dominate batch HBM at throughput batch sizes
     bias = jnp.asarray(bias, jnp.float32) if cfg.has_bias else None
     rig = jnp.asarray(rig, jnp.float32) if cfg.has_rig else None
+    aux_p = tuple(jnp.asarray(a, jnp.uint8) for a in aux)
+    assert tuple(a.shape[3] for a in aux_p) == tuple(cfg.aux_channels)
     vs = jnp.zeros((B, H, Wb), jnp.int32)
-    return MapState(ref=pixels, bias=bias, rig=rig, vs=vs, aux=(),
+    return MapState(ref=pixels, bias=bias, rig=rig, vs=vs, aux=aux_p,
                     cur_b=reader_plane(pixels, cfg.nrg),
                     cur_bias=bias, cur_rig=rig,
                     ref_w=jnp.asarray(widths, jnp.int32),
@@ -44,12 +67,15 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def extend_map_batched(cfg: EngineConfig, st: MapState, k) -> MapState:
+def extend_map_batched(cfg: EngineConfig, st: MapState, k,
+                       heights=None, rigc=None) -> MapState:
     """Carve k[b] further seams into each image's map.
 
     Same chunked hot path as the single-image ``extend_map`` (seam history
     committed to vs per chunk), with per-image seam counts masked inside
-    the chunk loop."""
+    the chunk loop. heights: [B] i32 true heights (None = all rows real);
+    rigc: [B, delta_x + 1] f32 per-image rigidity coefficients (required
+    with heights + cfg.has_rig; see ``rigc_table``)."""
     k = jnp.asarray(k, jnp.int32)
 
     kmax = jnp.max(k)
@@ -60,10 +86,20 @@ def extend_map_batched(cfg: EngineConfig, st: MapState, k) -> MapState:
     def body(c):
         cur_b, cur_bias, cur_rig, vs, depth, done = c
         kc = jnp.clip(k - done, 0, eng.KC)     # [B] seams this chunk
-        cur_b, cur_bias, cur_rig, hist = jax.vmap(
-            lambda cb, cbs, crg, rw, d, kk: eng._hot_chunk(
-                cfg, cb, cbs, crg, rw, d, kk)
-        )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
+        if heights is None:
+            cur_b, cur_bias, cur_rig, hist = jax.vmap(
+                lambda cb, cbs, crg, rw, d, kk: eng._hot_chunk(
+                    cfg, cb, cbs, crg, rw, d, kk)
+            )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
+        else:
+            rc = (rigc if rigc is not None
+                  else jnp.zeros((heights.shape[0], cfg.delta_x + 1),
+                                 jnp.float32))
+            cur_b, cur_bias, cur_rig, hist = jax.vmap(
+                lambda cb, cbs, crg, rw, d, kk, hh, rv: eng._hot_chunk(
+                    cfg, cb, cbs, crg, rw, d, kk, h=hh, rigc_vec=rv)
+            )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc,
+              jnp.asarray(heights, jnp.int32), rc)
         vs = jax.vmap(eng._commit_hist)(vs, st.ref_w, depth, kc, hist)
         return (cur_b, cur_bias, cur_rig, vs, depth + kc,
                 done + jnp.int32(eng.KC))
@@ -85,18 +121,51 @@ def materialize_batched(cfg: EngineConfig, st: MapState, w, out_Wb: int):
     )(st.ref, st.vs, st.ref_w, w)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def materialize_all_batched(cfg: EngineConfig, st: MapState, w, out_Wb: int):
+    """Materialize main + every attached aux carver at width w[b].
+
+    Returns (img [B, H, out_Wb, C], aux tuple) — the batched
+    write_aux_carver (/root/reference/src/render.c:902-916)."""
+    w = jnp.asarray(w, jnp.int32)
+    img = jax.vmap(
+        lambda ref, vs, rw, wi: eng.materialize_array(ref, vs, rw, wi,
+                                                      out_Wb)
+    )(st.ref, st.vs, st.ref_w, w)
+    aux = tuple(
+        jax.vmap(lambda a, vs, rw, wi: eng.materialize_array(a, vs, rw, wi,
+                                                             out_Wb)
+                 )(a, st.vs, st.ref_w, w)
+        for a in st.aux)
+    return img, aux
+
+
 class BatchCarver:
     """Host API for batched width-carving of many images at once.
 
     This is the throughput path: one jitted program carves the whole batch.
     (Height carving: transpose inputs, as in the single Carver.)
+
+    Feature parity with the solo ``Carver`` (benchmark configs #2 + #4
+    combined): per-image ``biases`` (strength fields, the pres/disc
+    bias_add result), ``rigmasks`` + global ``rigidity`` (x-mask law of
+    SPEC.md §4), and ``aux`` carvers following the identical seam sequence.
     """
 
     def __init__(self, images, *, delta_x: int = 1, nrg: int = 0,
-                 use_pallas: bool | None = None):
-        """images: list of [h_i, w_i, C] u8 arrays (same C; h padded to
-        max)."""
-        assert len(images) > 0
+                 rigidity: float = 0.0, biases=None, rigmasks=None,
+                 aux=None, use_pallas: bool | None = None):
+        """images: list of [h_i, w_i, C] u8 arrays (same C; ragged sizes
+        padded internally — seam outputs are bit-identical to solo carves).
+
+        biases: per-image f32 [h_i, w_i] additive energy fields or None
+        entries; rigmasks: per-image f32 [h_i, w_i] rigidity-multiplier
+        fields or None entries (with rigidity > 0 and no mask, the global
+        value applies everywhere, as in Carver._build_map); aux: per-image
+        lists of [h_i, w_i, C_j] u8 attached carvers (same count and
+        channels across the batch)."""
+        if not images:
+            raise LqrImageError("BatchCarver needs at least one image")
         C = images[0].shape[2] if images[0].ndim == 3 else 1
         H = max(im.shape[0] for im in images)
         Wmax = max(im.shape[1] for im in images)
@@ -108,26 +177,92 @@ class BatchCarver:
         for i, im in enumerate(images):
             if im.ndim == 2:
                 im = im[:, :, None]
+            if im.shape[2] != C:
+                raise LqrImageError(
+                    f"image {i} has {im.shape[2]} channels, batch has {C}")
             h, w = im.shape[:2]
             buf[i, :h, :w] = im
             widths[i] = w
             heights[i] = h
+
+        has_bias = biases is not None and any(b is not None for b in biases)
+        has_rig = (rigidity > 0
+                   or (rigmasks is not None
+                       and any(r is not None for r in rigmasks)))
+
+        def field(entries, fold_rigidity=False):
+            out = np.zeros((B, H, Wb), np.float32)
+            for i in range(B):
+                e = None if entries is None else entries[i]
+                h, w = heights[i], widths[i]
+                if e is not None:
+                    out[i, :h, :w] = np.asarray(e, np.float32)
+                    if fold_rigidity:
+                        out[i, :h, :w] *= np.float32(rigidity)
+                elif fold_rigidity and rigidity > 0:
+                    out[i, :h, :w] = np.float32(rigidity)
+            return out
+
+        bias_f = field(biases) if has_bias else None
+        # per-pixel rigidity = global rigidity x mask strength, or global
+        # alone when no mask (Carver._build_map rule, SPEC.md §4)
+        rig_f = field(rigmasks, fold_rigidity=True) if has_rig else None
+
+        aux_planes = ()
+        aux_channels = ()
+        if aux is not None and any(a for a in aux):
+            n_aux = len(aux[0])
+            if any(len(a) != n_aux for a in aux):
+                raise LqrImageError(
+                    "every image must attach the same number of aux "
+                    "carvers")
+            planes = []
+            chans = []
+            for j in range(n_aux):
+                cj = aux[0][j].shape[2] if aux[0][j].ndim == 3 else 1
+                pj = np.zeros((B, H, Wb, cj), np.uint8)
+                for i in range(B):
+                    a = np.asarray(aux[i][j], np.uint8)
+                    if a.ndim == 2:
+                        a = a[:, :, None]
+                    if a.shape[:2] != (heights[i], widths[i]):
+                        raise LqrImageError(
+                            f"aux {j} of image {i} is "
+                            f"{a.shape[1]}x{a.shape[0]}, image is "
+                            f"{widths[i]}x{heights[i]}")
+                    pj[i, :heights[i], :widths[i]] = a
+                planes.append(pj)
+                chans.append(cj)
+            aux_planes = tuple(planes)
+            aux_channels = tuple(chans)
+
         # The batched path uses the scan DP: vmapping it makes every scan
         # step a [B, Wb] row-block — full VPU utilization without Pallas
         # (the Pallas kernels exist for the latency-bound single-image path).
         del use_pallas
         self.cfg = EngineConfig(H=H, Wb=Wb, C=C, delta_x=delta_x, nrg=nrg,
-                                use_pallas=False)
+                                use_pallas=False, has_bias=has_bias,
+                                has_rig=has_rig,
+                                aux_channels=aux_channels)
         self.heights = heights
         self.widths = widths
-        self.state = init_state_batched(self.cfg, buf, widths)
+        # ragged machinery only when heights actually differ — equal
+        # heights take the leaner non-ragged program
+        self.ragged = bool((heights != H).any())
+        self._rigc = (jnp.asarray(rigc_table(heights, delta_x))
+                      if (self.ragged and has_rig) else None)
+        self.state = init_state_batched(self.cfg, buf, widths,
+                                        bias=bias_f, rig=rig_f,
+                                        aux=aux_planes)
 
     def carve(self, n_seams):
         """Extend every map by n_seams (scalar or per-image array)."""
         n = np.broadcast_to(np.asarray(n_seams, np.int32),
                             self.widths.shape)
-        self.state = extend_map_batched(self.cfg, self.state,
-                                        jnp.asarray(n))
+        self.state = extend_map_batched(
+            self.cfg, self.state, jnp.asarray(n),
+            heights=jnp.asarray(self.heights) if self.ragged else None,
+            rigc=self._rigc)
         return self
 
     def images_at(self, new_widths):
@@ -138,3 +273,15 @@ class BatchCarver:
                                   self.cfg.Wb)
         out = np.asarray(jax.device_get(out))
         return [out[i, :self.heights[i], :w[i]] for i in range(len(w))]
+
+    def aux_at(self, new_widths):
+        """Materialize every attached aux carver at the given widths;
+        returns a per-image list of per-aux lists (identical seam
+        sequence, lqr_carver_attach semantics)."""
+        w = np.broadcast_to(np.asarray(new_widths, np.int32),
+                            self.widths.shape)
+        _, aux = materialize_all_batched(self.cfg, self.state,
+                                         jnp.asarray(w), self.cfg.Wb)
+        aux = [np.asarray(jax.device_get(a)) for a in aux]
+        return [[a[i, :self.heights[i], :w[i]] for a in aux]
+                for i in range(len(w))]
