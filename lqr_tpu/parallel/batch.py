@@ -154,7 +154,7 @@ class BatchCarver:
 
     def __init__(self, images, *, delta_x: int = 1, nrg: int = 0,
                  rigidity: float = 0.0, biases=None, rigmasks=None,
-                 aux=None, use_pallas: bool | None = None):
+                 aux=None, mesh=None, use_pallas: bool | None = None):
         """images: list of [h_i, w_i, C] u8 arrays (same C; ragged sizes
         padded internally — seam outputs are bit-identical to solo carves).
 
@@ -163,7 +163,12 @@ class BatchCarver:
         fields or None entries (with rigidity > 0 and no mask, the global
         value applies everywhere, as in Carver._build_map); aux: per-image
         lists of [h_i, w_i, C_j] u8 attached carvers (same count and
-        channels across the batch)."""
+        channels across the batch).
+
+        mesh: a jax Mesh with a 'data' axis — the batch dim of the whole
+        carve state is sharded across it and the SAME jitted resize loop
+        runs data-parallel (zero per-seam collectives; the sharded
+        execution of the product hot path, BASELINE.md scaling target)."""
         if not images:
             raise LqrImageError("BatchCarver needs at least one image")
         C = images[0].shape[2] if images[0].ndim == 3 else 1
@@ -254,6 +259,10 @@ class BatchCarver:
         self.state = init_state_batched(self.cfg, buf, widths,
                                         bias=bias_f, rig=rig_f,
                                         aux=aux_planes)
+        self.mesh = mesh
+        if mesh is not None:
+            from .sharding import shard_batch_state
+            self.state = shard_batch_state(self.state, mesh)
 
     def carve(self, n_seams):
         """Extend every map by n_seams (scalar or per-image array)."""

@@ -9,7 +9,8 @@ import pytest
 from lqr_tpu import oracle
 from lqr_tpu.core import dp as jdp
 from lqr_tpu.parallel.batch import BatchCarver
-from lqr_tpu.parallel.sharding import make_mesh, find_seam_sharded
+from lqr_tpu.parallel.sharding import (make_mesh, find_seam_sharded,
+                                       sharded_seam_step)
 
 
 def test_batch_carver_matches_oracle(make_image):
@@ -164,6 +165,63 @@ def test_sharded_dp_delta2_rig():
                                            jnp.asarray(rig),
                                            jnp.bool_(pref), 2, True))
         assert np.array_equal(ref, got)
+
+
+def test_data_parallel_product_path(make_image):
+    """The REAL resize hot loop (extend_map_batched) sharded over 'data':
+    seam maps must be bitwise invariant to the sharding (VERDICT r1 #1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(23)
+    imgs = [make_image(h=16, w=24 + 4 * (i % 3)) for i in range(8)]
+    biases = [rng.standard_normal(im.shape[:2]).astype(np.float32)
+              for im in imgs]
+    solo = BatchCarver(imgs, biases=biases, rigidity=10.0)
+    solo.carve(5)
+    mesh = make_mesh(8, data=8)
+    shd = BatchCarver(imgs, biases=biases, rigidity=10.0, mesh=mesh)
+    shd.carve(5)
+    assert np.array_equal(np.asarray(solo.state.vs), np.asarray(shd.state.vs))
+    for a, b in zip(solo.images_at(20), shd.images_at(20)):
+        assert np.array_equal(a, b)
+
+
+def test_data_parallel_uneven_batch_raises(make_image):
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from lqr_tpu.errors import LqrImageError
+    mesh = make_mesh(8, data=8)
+    with pytest.raises(LqrImageError, match="shard evenly"):
+        BatchCarver([make_image() for _ in range(3)], mesh=mesh)
+
+
+def test_sharded_seam_step_bias_rig(make_image):
+    """The sharded carve step with bias + rig planes (the r1 version
+    hardcoded rig=0 and had no bias input) matches the solo engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import jax.numpy as jnp
+    from lqr_tpu.core.state import EngineConfig, init_state
+    from lqr_tpu.core.engine import seam_step
+    rng = np.random.default_rng(31)
+    B, H, Wb = 2, 16, 256
+    imgs = np.stack([make_image(h=H, w=Wb) for _ in range(B)])
+    bias = rng.standard_normal((B, H, Wb)).astype(np.float32)
+    rig = np.abs(rng.standard_normal((B, H, Wb))).astype(np.float32)
+    widths = np.full((B,), Wb, np.int32)
+    mesh = make_mesh(8, data=2)
+    out, bias2, rig2, seams = sharded_seam_step(
+        mesh, jnp.asarray(imgs), jnp.asarray(widths), jnp.bool_(True),
+        delta_x=2, bias=jnp.asarray(bias), rig=jnp.asarray(rig),
+        has_bias=True, has_rig=True)
+    for b in range(B):
+        cfg = EngineConfig(H=H, Wb=Wb, C=3, delta_x=2, has_bias=True,
+                           has_rig=True)
+        st = init_state(cfg, imgs[b], bias=bias[b], rig=rig[b])
+        st1 = seam_step(cfg, st)
+        # first seam on a fresh map: reference coords == compacted coords
+        seam_ref = np.argmax(np.asarray(st1.vs) == 1, axis=1)
+        assert np.array_equal(np.asarray(seams[b]), seam_ref)
 
 
 def test_graft_entry_dryrun():
