@@ -73,28 +73,40 @@ def main():
         # quantify: fraction of differing entries
         max_seam_dev = float((vs_dev != vs_ref).mean())
 
-    # --- device timing: warmup (compile) + timed run.
-    # NOTE measurement hygiene on this backend: the remote execution relay
-    # caches identical (program, inputs) pairs and block_until_ready can
-    # return before completion, so (a) the warmup uses a DIFFERENT image,
-    # (b) completion is forced with a small device_get fetch.
+    # --- device timing: warmup (compile), then SLOPE timing.
+    # NOTE measurement hygiene on this backend (axon, a tunneled chip):
+    # (a) the remote relay caches identical (program, inputs) pairs, so
+    #     every timed call uses a fresh image;
+    # (b) each dispatch+sync round-trip costs a FIXED ~25 ms of tunnel
+    #     latency regardless of the work inside (measured: a jitted no-op
+    #     costs the same as 400 fused loop iterations). The device rate is
+    #     therefore measured as a slope: (t(N seams) - t(4 seams)) / (N-4),
+    #     min-of-3 each, which cancels the fixed dispatch+sync latency.
     def sync(x):
         np.asarray(jax.device_get(x))
 
-    st_w = init_state(cfg, make_test_image(n, seed=1))
-    st_w = extend_map(cfg, st_w, jnp.int32(args.seams))   # compile + warm
-    sync(st_w.depth)
-    st = init_state(cfg, img)
-    sync(st.depth)              # H2D transfer + init are not carve time
-    t0 = time.perf_counter()
-    st = extend_map(cfg, st, jnp.int32(args.seams))
-    sync(st.depth)
-    t1 = time.perf_counter()
-    dev_sps = args.seams / (t1 - t0)
+    def one(n_seams, seed):
+        st = init_state(cfg, make_test_image(n, seed=seed))
+        sync(st.depth)          # H2D transfer + init are not carve time
+        t0 = time.perf_counter()
+        o = extend_map(cfg, st, jnp.int32(n_seams))
+        sync(o.depth)
+        return time.perf_counter() - t0
 
-    # --- CPU single-core baseline (C++ reference, the liblqr stand-in)
-    ref_t = native.bench(img, args.ref_seams)
-    cpu_sps = args.ref_seams / ref_t
+    for k in (4, args.seams):   # compile both trip counts
+        one(k, seed=1)
+    t_small = min(one(4, seed=70 + i) for i in range(3))
+    t_full = min(one(args.seams, seed=80 + i) for i in range(3))
+    per_seam = (t_full - t_small) / (args.seams - 4)
+    dev_sps = 1.0 / per_seam
+
+    # --- CPU single-core baseline (C++ reference, the liblqr stand-in);
+    # best-of-2 favors the baseline on this noisy 2-core host
+    cpu_sps = max(args.ref_seams / native.bench(img, args.ref_seams)
+                  for _ in range(2))
+
+    from lqr_tpu.profiling import seam_roofline
+    sol = seam_roofline(n, n).sol_seams_per_s
 
     result = {
         "metric": f"seams_per_sec_{n}x{n}_remove{args.seams}",
@@ -105,6 +117,9 @@ def main():
         "pallas": use_pallas,
         "cpu_singlecore_seams_per_sec": round(cpu_sps, 3),
         "bit_exact_vs_ref": exact,
+        "roofline_frac": round(dev_sps / sol, 3),
+        "per_seam_us": round(per_seam * 1e6, 1),
+        "dispatch_roundtrip_ms_excluded": round(t_small * 1e3, 1),
         **({"mismatch_frac": max_seam_dev} if max_seam_dev else {}),
     }
     print(json.dumps(result))
