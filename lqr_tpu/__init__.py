@@ -20,6 +20,8 @@ from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
 from .carver import Carver
 from .checkpoint import save_carver, load_carver
 from .errors import LqrError, LqrConfigError, LqrImageError, LqrStateError
+from .masks import colour_from_type, new_mask_layer, edit_mask
+from .preview import preview
 
 __version__ = "0.2.0"
 
@@ -27,5 +29,6 @@ __all__ = [
     "LqrConfig", "SeamColors", "EnergyFunc", "ResizeOrder", "OutputTarget",
     "ScalebackMode", "MaskBehavior", "AuxLayerType", "Carver",
     "save_carver", "load_carver", "LqrError", "LqrConfigError",
-    "LqrImageError", "LqrStateError", "__version__",
+    "LqrImageError", "LqrStateError", "colour_from_type", "new_mask_layer",
+    "edit_mask", "preview", "__version__",
 ]

@@ -25,6 +25,7 @@ class Layer:
     alpha_lock: bool = False
     visible: bool = True
     mask: np.ndarray | None = None     # [h, w] uint8 layer mask, or None
+    opacity: float = 100.0             # gimp_layer_set_opacity (percent)
 
     def __post_init__(self):
         p = np.asarray(self.pixels, np.uint8)
@@ -52,7 +53,8 @@ class Layer:
         return Layer(name=name or self.name, pixels=self.pixels.copy(),
                      x_off=self.x_off, y_off=self.y_off,
                      alpha_lock=self.alpha_lock, visible=self.visible,
-                     mask=None if self.mask is None else self.mask.copy())
+                     mask=None if self.mask is None else self.mask.copy(),
+                     opacity=self.opacity)
 
     def apply_mask(self):
         """GIMP_MASK_APPLY: multiply alpha by the layer mask, drop it."""
@@ -165,6 +167,7 @@ class Image:
                 color = p[:, :, :3]
             alpha = (p[:, :, -1:] / 255.0 if l.has_alpha
                      else np.ones_like(p[:, :, :1]))
+            alpha = alpha * (l.opacity / 100.0)
             x0, y0 = l.x_off, l.y_off
             xs0, ys0 = max(0, -x0), max(0, -y0)
             xd0, yd0 = max(0, x0), max(0, y0)
