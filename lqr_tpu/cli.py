@@ -52,8 +52,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="lqr_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("input", nargs="+", help="input image file(s)")
-    p.add_argument("width", type=int, help="final width")
-    p.add_argument("height", type=int, help="final height")
+    p.add_argument("width", type=int, nargs="?", default=None,
+                   help="final width (optional with --last)")
+    p.add_argument("height", type=int, nargs="?", default=None,
+                   help="final height (optional with --last)")
+    p.add_argument("--last", action="store_true",
+                   help="replay the last saved settings "
+                        "(RUN_WITH_LAST_VALS; aux masks matched by name)")
+    p.add_argument("--save-vals", action="store_true",
+                   help="persist this run's settings for --last replay")
+    p.add_argument("--settings", metavar="PATH",
+                   help="settings store file (default "
+                        "~/.config/lqr_tpu/settings.json)")
     p.add_argument("-o", "--output", help="output file (single input)")
     p.add_argument("--outdir", help="output directory (multiple inputs)")
     p.add_argument("--pres", help="preservation mask image file")
@@ -102,7 +112,13 @@ def _xy(s: str) -> tuple[int, int]:
 def _validate(args) -> None:
     """User-facing parameter validation at the CLI boundary (the
     IMAGE_CHECK/LAYER_CHECK analog, /root/reference/src/main.h:131-153)."""
-    check_target_size(args.width, args.height)
+    if args.width is None or args.height is None:
+        if not args.last:
+            raise LqrConfigError(
+                "width and height are required (or use --last to replay "
+                "the saved settings)")
+    else:
+        check_target_size(args.width, args.height)
     if not 0 <= args.delta_x <= MAX_DELTA_X:
         raise LqrConfigError(
             f"--delta-x {args.delta_x} out of range 0..{MAX_DELTA_X}")
@@ -184,6 +200,14 @@ def _colors(args) -> SeamColors:
 
 def run_one(path: str, cfg: LqrConfig, args, out_path: str):
     image = _build_image(path, args)
+    if args.last:
+        # aux masks matched per-image BY NAME (main.c:508-517; the GAP
+        # per-frame contract) — unknown names resolve to unset
+        def resolve(name):
+            return name if image.layer_by_name(name) is not None else ""
+        cfg = cfg.replace(pres_layer=resolve(cfg.pres_layer_name),
+                          disc_layer=resolve(cfg.disc_layer_name),
+                          rigmask_layer=resolve(cfg.rigmask_layer_name))
     cd = init_carver(image, cfg,
                      use_pallas=False if args.cpu else None)
     ok = render_noninteractive(cfg, _colors(args), cd)
@@ -197,8 +221,25 @@ def run_one(path: str, cfg: LqrConfig, args, out_path: str):
     return out
 
 
+def _split_size_args(args) -> None:
+    """argparse's greedy nargs='+' absorbs the trailing WIDTH HEIGHT
+    positionals; pull numeric trailers back out of the input list."""
+    if args.width is not None or args.height is not None:
+        return
+    trail = []
+    while (len(args.input) > 1 and len(trail) < 2
+           and args.input[-1].lstrip("-").isdigit()):
+        trail.append(int(args.input.pop()))
+    trail.reverse()                      # command-line order
+    if len(trail) == 2:
+        args.width, args.height = trail
+    elif len(trail) == 1:
+        args.width = trail[0]
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _split_size_args(args)
     try:
         return _run(args)
     except LqrError as e:
@@ -209,8 +250,19 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    from .settings import SettingsStore, save_vals, retrieve_vals
     _validate(args)
-    cfg = config_from_args(args)
+    store = SettingsStore(args.settings)
+    if args.last:
+        # RUN_WITH_LAST_VALS (main.c:388-390): replay the stored config;
+        # aux masks resolve per-image by name inside _run_last below
+        cfg, _ = retrieve_vals(store)
+        if args.width is not None:
+            cfg = cfg.replace(new_width=args.width)
+        if args.height is not None:
+            cfg = cfg.replace(new_height=args.height)
+    else:
+        cfg = config_from_args(args)
     inputs = args.input
     if args.gap_width or args.gap_height:
         # GAP-style animation: interpolate configs across the input frames
@@ -223,6 +275,8 @@ def _run(args) -> int:
         outp = _out_path(path, args, i, len(inputs))
         run_one(path, c, args, outp)
         print(f"{path} -> {outp} ({c.new_width}x{c.new_height})")
+    if args.save_vals:
+        save_vals(store, cfg, _colors(args))
     return 0
 
 
