@@ -299,8 +299,9 @@ class Carver:
             return
         prog = self.progress
         if prog is not None:
-            msg = ("Resizing width..." if self._orientation == 0
-                   else "Resizing height...")
+            from .i18n import _
+            msg = _("Resizing width..." if self._orientation == 0
+                    else "Resizing height...")
             prog.init(msg)
             chunks = max(1, min(k, 20))
             base = k // chunks

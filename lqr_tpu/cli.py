@@ -29,6 +29,7 @@ from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
                      MAX_RIGIDITY, MAX_ENL_STEP, MIN_ENL_STEP)
 from .errors import LqrError, LqrConfigError, check_target_size
 from .image_model import Image, Layer
+from .sizeentry import parse_size
 from .render import init_carver, render_noninteractive
 from .gap import schedule
 from .utils.image_io import load_image, save_image
@@ -52,10 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="lqr_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("input", nargs="+", help="input image file(s)")
-    p.add_argument("width", type=int, nargs="?", default=None,
-                   help="final width (optional with --last)")
-    p.add_argument("height", type=int, nargs="?", default=None,
-                   help="final height (optional with --last)")
+    p.add_argument("width", nargs="?", default=None,
+                   help="final width: pixels or percent like 75%% "
+                        "(optional with --last)")
+    p.add_argument("height", nargs="?", default=None,
+                   help="final height: pixels or percent "
+                        "(optional with --last)")
     p.add_argument("--last", action="store_true",
                    help="replay the last saved settings "
                         "(RUN_WITH_LAST_VALS; aux masks matched by name)")
@@ -118,7 +121,14 @@ def _validate(args) -> None:
                 "width and height are required (or use --last to replay "
                 "the saved settings)")
     else:
-        check_target_size(args.width, args.height)
+        # syntax check; percent sizes resolve per image (size-entry %
+        # unit, altsizeentry.c percent law)
+        w = parse_size(str(args.width), 100)
+        h = parse_size(str(args.height), 100)
+        check_target_size(w, h)
+        if _is_percent(args) and (args.gap_width or args.gap_height):
+            raise LqrConfigError(
+                "percent sizes cannot combine with --gap-* keyframes")
     if not 0 <= args.delta_x <= MAX_DELTA_X:
         raise LqrConfigError(
             f"--delta-x {args.delta_x} out of range 0..{MAX_DELTA_X}")
@@ -139,9 +149,17 @@ def _validate(args) -> None:
             raise LqrConfigError(f"no such file: {path}")
 
 
+def _is_percent(args) -> bool:
+    return (str(args.width).endswith("%")
+            or str(args.height).endswith("%"))
+
+
 def config_from_args(args) -> LqrConfig:
+    # percent sizes stay symbolic until an image's size is known
+    w = parse_size(str(args.width), 100) if args.width is not None else 100
+    h = parse_size(str(args.height), 100) if args.height is not None else 100
     return LqrConfig(
-        new_width=args.width, new_height=args.height,
+        new_width=w, new_height=h,
         pres_layer="__pres" if args.pres else "",
         pres_coeff=args.pres_coeff,
         disc_layer="__disc" if args.disc else "",
@@ -200,6 +218,12 @@ def _colors(args) -> SeamColors:
 
 def run_one(path: str, cfg: LqrConfig, args, out_path: str):
     image = _build_image(path, args)
+    if not args.last and _is_percent(args):
+        # percent sizes resolve against each image's own dimensions
+        layer = image.active_layer
+        cfg = cfg.replace(
+            new_width=parse_size(str(args.width), layer.width),
+            new_height=parse_size(str(args.height), layer.height))
     if args.last:
         # aux masks matched per-image BY NAME (main.c:508-517; the GAP
         # per-frame contract) — unknown names resolve to unset
@@ -218,7 +242,7 @@ def run_one(path: str, cfg: LqrConfig, args, out_path: str):
     else:
         out = cd.image.layer_by_name(cd.layer_name).pixels
     save_image(out_path, out)
-    return out
+    return cfg
 
 
 def _split_size_args(args) -> None:
@@ -226,10 +250,14 @@ def _split_size_args(args) -> None:
     positionals; pull numeric trailers back out of the input list."""
     if args.width is not None or args.height is not None:
         return
+
+    def is_size(tok: str) -> bool:
+        return tok.removesuffix("%").lstrip("-").isdigit()
+
     trail = []
     while (len(args.input) > 1 and len(trail) < 2
-           and args.input[-1].lstrip("-").isdigit()):
-        trail.append(int(args.input.pop()))
+           and is_size(args.input[-1])):
+        trail.append(args.input.pop())
     trail.reverse()                      # command-line order
     if len(trail) == 2:
         args.width, args.height = trail
@@ -245,7 +273,8 @@ def main(argv=None) -> int:
     except LqrError as e:
         # user-facing error channel (the g_message analog,
         # /root/reference/src/render.c:42-62)
-        print(f"lqr-tpu: error: {e}", file=sys.stderr)
+        from .i18n import _
+        print(f"lqr-tpu: {_('error')}: {e}", file=sys.stderr)
         return 1
 
 
@@ -273,8 +302,8 @@ def _run(args) -> int:
         cfgs = [cfg] * len(inputs)
     for i, (path, c) in enumerate(zip(inputs, cfgs)):
         outp = _out_path(path, args, i, len(inputs))
-        run_one(path, c, args, outp)
-        print(f"{path} -> {outp} ({c.new_width}x{c.new_height})")
+        used = run_one(path, c, args, outp)
+        print(f"{path} -> {outp} ({used.new_width}x{used.new_height})")
     if args.save_vals:
         save_vals(store, cfg, _colors(args))
     return 0
