@@ -128,6 +128,16 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
             out.append((dx, rl, rr, c))
         return out
 
+    # NOTE perf provenance (v5e measurements, 512x384, 400-seam slope):
+    # - packing M and b into one (2f, L) array so +-1 shifts serve both
+    #   the DP window and the energy gradient: NEUTRAL (77.5 vs 76 us,
+    #   within noise) — rejected as unjustified complexity;
+    # - precomputing the next seam's energy in the backward sweep: LOSES
+    #   (see _use_escr). The residual per-seam cost is per-op issue at
+    #   half-vreg (f, L) shapes across ~2H sequential rows; the next
+    #   structural lever would be a bit-exactness-preserving multi-row
+    #   composition of the backward chase.
+
     def dp_row(M_prev, e_tot, rig_row, first=False):
         """first=True (static): global row 0, no predecessor (peeled so
         the common row never pays a select on the M value chain)."""
@@ -162,11 +172,12 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
             bps = []
             for j in range(CH):
                 r = base + j
+                first = first_chunk and j == 0
                 if read_e:
                     e = e_ch[j]
                 else:
                     b_row = bch[j]
-                    if first_chunk and j == 0:
+                    if first:
                         b_up = b_row                    # top edge replicate
                     else:
                         b_up = b_prev if j == 0 else bch[j - 1]
@@ -179,7 +190,7 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
                 e_tot = jnp.where(glane < w, e, inf)
                 M_prev, bp = dp_row(M_prev, e_tot,
                                     rig_ch[j] if has_rig else None,
-                                    first=(first_chunk and j == 0))
+                                    first=first)
                 bps.append(bp)
             return M_prev, jnp.stack(bps).astype(jnp.int8)
 

@@ -282,21 +282,32 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
     pref_left = pl_ref[0, 0] != 0
     inf = jnp.float32(jnp.inf)
     cands = _rank_consts(delta_x, H)
+    by_left = sorted(cands, key=lambda c: c[1])
+    by_right = sorted(cands, key=lambda c: c[2])
     CH = _CHUNK
 
     def dp_row(M_prev, e_row, rig_row):
-        best = jnp.full((f, L), inf, jnp.float32)
-        best_rank = jnp.full((f, L), 127, jnp.int32)
-        bp = jnp.zeros((f, L), jnp.int32)
+        # values: plain min tree — the M[y-1] -> M[y] critical chain
+        # carries no tie-rank bookkeeping (min is order-invariant);
+        # backpointers come from rank-ordered equality OFF the chain
+        shifted = {}
         for dx, rl, rr, rigc in cands:
             c = _shift_folded(M_prev, dx, inf, f, L)
             if has_rig and dx != 0:
                 c = c + rig_row * rigc
-            rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
-            take = (c < best) | ((c == best) & (rank < best_rank))
-            best = jnp.where(take, c, best)
-            best_rank = jnp.where(take, rank, best_rank)
-            bp = jnp.where(take, jnp.int32(dx), bp)
+            shifted[dx] = c
+        best = shifted[0]
+        for dx in shifted:
+            if dx != 0:
+                best = jnp.minimum(best, shifted[dx])
+        eqs = {dx: shifted[dx] == best for dx, _, _, _ in cands}
+
+        def nested(order):
+            bp = jnp.full((f, L), jnp.int32(order[-1][0]))
+            for dx, _, _, _ in reversed(order[:-1]):
+                bp = jnp.where(eqs[dx], jnp.int32(dx), bp)
+            return bp
+        bp = jnp.where(pref_left, nested(by_left), nested(by_right))
         return e_row + best, bp
 
     def chunk_fn(k, M_prev):
