@@ -218,12 +218,15 @@ def _colors(args) -> SeamColors:
 
 def run_one(path: str, cfg: LqrConfig, args, out_path: str):
     image = _build_image(path, args)
-    if not args.last and _is_percent(args):
+    if _is_percent(args):
         # percent sizes resolve against each image's own dimensions
         layer = image.active_layer
-        cfg = cfg.replace(
-            new_width=parse_size(str(args.width), layer.width),
-            new_height=parse_size(str(args.height), layer.height))
+        if args.width is not None:
+            cfg = cfg.replace(
+                new_width=parse_size(str(args.width), layer.width))
+        if args.height is not None:
+            cfg = cfg.replace(
+                new_height=parse_size(str(args.height), layer.height))
     if args.last:
         # aux masks matched per-image BY NAME (main.c:508-517; the GAP
         # per-frame contract) — unknown names resolve to unset
@@ -286,10 +289,12 @@ def _run(args) -> int:
         # RUN_WITH_LAST_VALS (main.c:388-390): replay the stored config;
         # aux masks resolve per-image by name inside _run_last below
         cfg, _ = retrieve_vals(store)
+        # explicit size overrides parse like the non---last path (percent
+        # stays symbolic here; run_one resolves it against each image)
         if args.width is not None:
-            cfg = cfg.replace(new_width=args.width)
+            cfg = cfg.replace(new_width=parse_size(str(args.width), 100))
         if args.height is not None:
-            cfg = cfg.replace(new_height=args.height)
+            cfg = cfg.replace(new_height=parse_size(str(args.height), 100))
     else:
         cfg = config_from_args(args)
     inputs = args.input

@@ -9,15 +9,27 @@ TPU-native re-expression of the reference plugin's config surface:
   at /root/reference/src/interface.c:2137-2147, 2213-2219.
 
 The reference identifies aux layers by GIMP layer ID *or* by name
-(/root/reference/src/main.c:452-472); our image model is name-keyed, so the
-config carries layer names (empty string = unset), with the same batch/GAP
-replay semantics.
+(/root/reference/src/main.c:556-576; the batch-gimp-lqr-full-use-id variant,
+/root/reference/batch/batch-gimp-lqr.scm:134-197). The ``*_layer`` fields
+accept either: a name string ("" = unset) or an int layer ID (< 0 = unset),
+resolved through ``Image.layer_ref``. The ``*_layer_name`` fields keep the
+name-based batch/GAP replay semantics.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import enum
+
+
+def layer_ref_set(ref) -> bool:
+    """True iff a ``*_layer`` reference is set: a non-empty name string or a
+    non-negative int layer ID (GIMP's invalid-layer ID is -1)."""
+    if ref is None or ref == "":
+        return False
+    if isinstance(ref, int) and not isinstance(ref, bool):
+        return ref >= 0
+    return True
 
 
 class EnergyFunc(enum.IntEnum):
@@ -85,12 +97,12 @@ class LqrConfig:
 
     new_width: int = 100
     new_height: int = 100
-    pres_layer: str = ""          # pres layer (by name; "" = unset)
+    pres_layer: "str | int" = ""  # name or int layer ID; ""/-1 = unset
     pres_coeff: int = 1000
-    disc_layer: str = ""
+    disc_layer: "str | int" = ""
     disc_coeff: int = 1000
     rigidity: float = 0.0
-    rigmask_layer: str = ""
+    rigmask_layer: "str | int" = ""
     delta_x: int = 1
     enl_step: float = 1.5         # stored as percent/100; UI 100.1%-200%
     resize_aux_layers: bool = True

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import enum
 
-from .config import LqrConfig, SeamColors, AuxLayerType
+from .config import LqrConfig, SeamColors, AuxLayerType, layer_ref_set
 from .errors import LqrError
 from .image_model import Image
 from .masks import MaskEditSession
@@ -109,9 +109,9 @@ class MainDialog:
         """The warning icon by the discard mask: the mask will be
         IGNORED because the first scaling direction enlarges
         (interface.c:857-902 mirrors compute_ignore_disc_mask)."""
-        if not self.cfg.disc_layer:
+        if not layer_ref_set(self.cfg.disc_layer):
             return False
-        layer = self.image.layer_by_name(
+        layer = self.image.layer_ref(
             self.cfg.selected_layer_name) or self.image.active_layer
         return compute_ignore_disc_mask(
             self.cfg, layer.width, layer.height,
@@ -131,7 +131,7 @@ class MainDialog:
                 AuxLayerType.DISC: self.cfg.disc_layer,
                 AuxLayerType.RIGMASK: self.cfg.rigmask_layer}[
                     AuxLayerType(layer_type)]
-        layer = self.image.layer_by_name(name)
+        layer = self.image.layer_ref(name)
         if layer is None:
             raise LqrError(f"no {AuxLayerType(layer_type).name} mask "
                            f"selected to edit")

@@ -12,8 +12,11 @@ coordinates, canvas is (width, height).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 
 import numpy as np
+
+_next_layer_id = itertools.count(1)
 
 
 @dataclasses.dataclass
@@ -26,12 +29,15 @@ class Layer:
     visible: bool = True
     mask: np.ndarray | None = None     # [h, w] uint8 layer mask, or None
     opacity: float = 100.0             # gimp_layer_set_opacity (percent)
+    layer_id: int = -1                 # GIMP layer-ID analog; auto-assigned
 
     def __post_init__(self):
         p = np.asarray(self.pixels, np.uint8)
         if p.ndim == 2:
             p = p[:, :, None]
         self.pixels = p
+        if self.layer_id < 0:
+            self.layer_id = next(_next_layer_id)
 
     @property
     def width(self) -> int:
@@ -130,6 +136,27 @@ class Image:
             if l.name == name:
                 return l
         return None
+
+    def layer_by_id(self, layer_id: int) -> Layer | None:
+        if layer_id < 0:
+            return None
+        for l in self.layers:
+            if l.layer_id == layer_id:
+                return l
+        return None
+
+    def layer_ref(self, ref) -> Layer | None:
+        """Resolve a layer reference that is either an int layer ID or a
+        name string. The reference plugin accepts both: raw PDB args carry
+        IDs, and non-empty name strings override them
+        (/root/reference/src/main.c:556-576; the batch-gimp-lqr-full-use-id
+        variant, /root/reference/batch/batch-gimp-lqr.scm:134-197). "" or a
+        negative ID means unset."""
+        if ref is None:
+            return None
+        if isinstance(ref, int) and not isinstance(ref, bool):
+            return self.layer_by_id(ref)
+        return self.layer_by_name(ref)
 
     @property
     def active_layer(self) -> Layer:

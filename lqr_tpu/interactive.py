@@ -20,6 +20,7 @@ import dataclasses
 import time
 
 from .config import LqrConfig, SeamColors
+from .errors import LqrImageError
 from .image_model import Image
 from .render import (CarverData, init_carver, render_interactive,
                      render_flatten, render_dump_vmap)
@@ -84,7 +85,13 @@ class InteractiveSession:
             return None
         w, h = self._pending
         self._pending = None
-        render_interactive(self.cfg, self.cd, w, h)
+        if not render_interactive(self.cfg, self.cd, w, h):
+            # the FATAL response path: the image was mutated under the live
+            # session (layer removed / bpp changed; render.c:485-500,
+            # interface_I.c:521-525)
+            raise LqrImageError(
+                "image changed under the interactive session (layer removed "
+                "or its type changed); the session cannot continue")
         return self.image
 
     def reset_size(self):

@@ -21,7 +21,7 @@ import dataclasses
 import numpy as np
 
 from .config import (LqrConfig, SeamColors, OutputTarget, ScalebackMode,
-                     MaskBehavior, ResizeOrder)
+                     MaskBehavior, ResizeOrder, layer_ref_set)
 from .carver import Carver
 from .image_model import Image, Layer, bilinear_scale
 from .vmap_render import render_vmap
@@ -30,7 +30,7 @@ from .vmap_render import render_vmap
 def rigidity_init(cfg: LqrConfig) -> float:
     """Rigidity x3 when a rigidity mask is used
     (/root/reference/src/render.c:781-792)."""
-    if cfg.rigmask_layer:
+    if layer_ref_set(cfg.rigmask_layer):
         return 3.0 * cfg.rigidity
     return float(cfg.rigidity)
 
@@ -69,10 +69,11 @@ class CarverData:
     enl_step: float = 1.5
 
 
-def _crop_aux_to_layer(image: Image, name: str, layer: Layer) -> bool:
+def _crop_aux_to_layer(image: Image, ref, layer: Layer) -> bool:
     """resize_unlock_aux_layer (/root/reference/src/render.c:865-879): crop
-    the aux layer to the active layer's bounds; returns its old alpha lock."""
-    aux = image.layer_by_name(name)
+    the aux layer to the active layer's bounds; returns its old alpha lock.
+    ``ref`` is a layer name or int ID (main.c:556-576)."""
+    aux = image.layer_ref(ref)
     if aux is None:
         return False
     lock = aux.alpha_lock
@@ -86,7 +87,7 @@ def init_carver(image: Image, cfg: LqrConfig, interactive: bool = False,
                 use_pallas: bool | None = None,
                 progress=None) -> CarverData:
     """Build and fully configure the carver (render_init_carver)."""
-    layer = (image.layer_by_name(cfg.selected_layer_name)
+    layer = (image.layer_ref(cfg.selected_layer_name)
              or image.active_layer)
 
     # UNMASK (render.c:147): apply or discard the layer mask
@@ -118,11 +119,13 @@ def init_carver(image: Image, cfg: LqrConfig, interactive: bool = False,
         new_image.add_layer(work_layer, 0)
         new_image.active = work_layer.name
         if cfg.resize_aux_layers:
-            for aux_name in (cfg.pres_layer, cfg.disc_layer,
-                             cfg.rigmask_layer):
-                aux = image.layer_by_name(aux_name)
+            for aux_ref in (cfg.pres_layer, cfg.disc_layer,
+                            cfg.rigmask_layer):
+                aux = image.layer_ref(aux_ref)
                 if aux is not None:
                     a2 = aux.copy()
+                    # keep the ID so ID-based refs resolve in the new image
+                    a2.layer_id = aux.layer_id
                     a2.translate(-x_off, -y_off)
                     new_image.add_layer(a2, 0)
         image = new_image
@@ -144,8 +147,8 @@ def init_carver(image: Image, cfg: LqrConfig, interactive: bool = False,
     if progress is not None:
         carver.set_progress(progress)
 
-    def _mask_args(name):
-        aux = image.layer_by_name(name)
+    def _mask_args(ref):
+        aux = image.layer_ref(ref)
         if aux is None:
             return None
         return (aux.pixels, aux.x_off - work_layer.x_off,
@@ -171,11 +174,11 @@ def init_carver(image: Image, cfg: LqrConfig, interactive: bool = False,
 
     aux_names = []
     if cfg.resize_aux_layers:
-        for aux_name in (cfg.pres_layer, cfg.disc_layer, cfg.rigmask_layer):
-            aux = image.layer_by_name(aux_name)
+        for aux_ref in (cfg.pres_layer, cfg.disc_layer, cfg.rigmask_layer):
+            aux = image.layer_ref(aux_ref)
             if aux is not None:
                 carver.attach(aux.pixels)
-                aux_names.append(aux_name)
+                aux_names.append(aux_ref)
 
     return CarverData(
         carver=carver, image=image, layer_name=work_layer.name,
@@ -216,8 +219,8 @@ def _write_back(cd: CarverData, cfg: LqrConfig, new_w: int, new_h: int):
     else:
         layer.resize(new_w, new_h, 0, 0)
     layer.pixels = cd.carver.get_image()
-    for i, aux_name in enumerate(cd.aux_names):
-        aux = image.layer_by_name(aux_name)
+    for i, aux_ref in enumerate(cd.aux_names):
+        aux = image.layer_ref(aux_ref)
         aux.resize(new_w, new_h, 0, 0)
         aux.pixels = cd.carver.get_aux(i)
 
@@ -269,8 +272,8 @@ def render_noninteractive(cfg: LqrConfig, colors: SeamColors,
         else:
             _scale_layer_translated(layer, sb_w, sb_h, x_off, y_off)
         if cfg.resize_aux_layers:
-            for aux_name in cd.aux_names:
-                aux = image.layer_by_name(aux_name)
+            for aux_ref in cd.aux_names:
+                aux = image.layer_ref(aux_ref)
                 if aux is not None:
                     _scale_layer_translated(aux, sb_w, sb_h, x_off, y_off)
 
@@ -280,13 +283,30 @@ def render_noninteractive(cfg: LqrConfig, colors: SeamColors,
     image.active = cd.layer_name
     layer.alpha_lock = cd.alpha_lock
     if cfg.resize_aux_layers:
-        locks = {cfg.pres_layer: cd.alpha_lock_pres,
-                 cfg.disc_layer: cd.alpha_lock_disc,
-                 cfg.rigmask_layer: cd.alpha_lock_rigmask}
-        for name, lock in locks.items():
-            aux = image.layer_by_name(name)
+        locks = ((cfg.pres_layer, cd.alpha_lock_pres),
+                 (cfg.disc_layer, cd.alpha_lock_disc),
+                 (cfg.rigmask_layer, cd.alpha_lock_rigmask))
+        for ref, lock in locks:
+            aux = image.layer_ref(ref)
             if aux is not None:
                 aux.alpha_lock = lock
+    return True
+
+
+def revalidate_interactive(cd: CarverData) -> bool:
+    """Re-check externally mutable state before an interactive render
+    (render.c:485-500 plus the BPP_CHECK / IMAGE_TYPE_CHECK macros,
+    render.c:48-62): the work layer must still exist with the carver's
+    channel count, and every attached aux layer must still be present.
+    Returns False for the FATAL response path (main.c:376-379)."""
+    layer = cd.image.layer_by_name(cd.layer_name)
+    if layer is None:
+        return False
+    if layer.bpp != cd.carver.channels:
+        return False
+    for aux_ref in cd.aux_names:
+        if cd.image.layer_ref(aux_ref) is None:
+            return False
     return True
 
 
@@ -294,6 +314,8 @@ def render_interactive(cfg: LqrConfig, cd: CarverData,
                        new_w: int, new_h: int) -> bool:
     """One interactive step (render.c:465-574): incremental resize +
     write-back + map-info refresh."""
+    if not revalidate_interactive(cd):
+        return False
     carver = cd.carver
     carver.resize(new_w, new_h)
     _write_back(cd, cfg, new_w, new_h)
