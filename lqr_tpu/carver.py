@@ -300,8 +300,8 @@ class Carver:
         prog = self.progress
         if prog is not None:
             from .i18n import _
-            msg = _("Resizing width..." if self._orientation == 0
-                    else "Resizing height...")
+            msg = (_("Resizing width...") if self._orientation == 0
+                   else _("Resizing height..."))
             prog.init(msg)
             chunks = max(1, min(k, 20))
             base = k // chunks

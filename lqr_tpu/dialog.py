@@ -25,6 +25,7 @@ import enum
 
 from .config import LqrConfig, SeamColors, AuxLayerType, layer_ref_set
 from .errors import LqrError
+from .i18n import _
 from .image_model import Image
 from .masks import MaskEditSession
 from .render import compute_ignore_disc_mask, init_carver, \
@@ -133,8 +134,8 @@ class MainDialog:
                     AuxLayerType(layer_type)]
         layer = self.image.layer_ref(name)
         if layer is None:
-            raise LqrError(f"no {AuxLayerType(layer_type).name} mask "
-                           f"selected to edit")
+            raise LqrError(_("no {type} mask selected to edit").format(
+                type=AuxLayerType(layer_type).name))
         return MaskEditSession(self.image, layer_type, layer=layer)
 
     def _select_mask(self, layer_type: AuxLayerType, name: str):

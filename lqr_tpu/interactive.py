@@ -21,6 +21,7 @@ import time
 
 from .config import LqrConfig, SeamColors
 from .errors import LqrImageError
+from .i18n import _
 from .image_model import Image
 from .render import (CarverData, init_carver, render_interactive,
                      render_flatten, render_dump_vmap)
@@ -39,12 +40,14 @@ class MapInfo:
     next_enl_step: int      # size at which the next enlargement pass starts
 
     def describe(self) -> str:
-        axis = "width" if self.orientation == 0 else "height"
+        axis = _("width") if self.orientation == 0 else _("height")
         ref = self.ref_w if self.orientation == 0 else self.ref_h
-        return (f"map: {axis}, reference {ref} "
-                f"(image {self.ref_w}x{self.ref_h}), depth {self.depth}, "
-                f"range [{self.range_min}, {self.range_max}], "
-                f"next step at {self.next_enl_step}")
+        return _("map: {axis}, reference {ref} (image {w}x{h}), "
+                 "depth {depth}, range [{lo}, {hi}], "
+                 "next step at {step}").format(
+            axis=axis, ref=ref, w=self.ref_w, h=self.ref_h,
+            depth=self.depth, lo=self.range_min, hi=self.range_max,
+            step=self.next_enl_step)
 
 
 class InteractiveSession:
@@ -89,9 +92,9 @@ class InteractiveSession:
             # the FATAL response path: the image was mutated under the live
             # session (layer removed / bpp changed; render.c:485-500,
             # interface_I.c:521-525)
-            raise LqrImageError(
+            raise LqrImageError(_(
                 "image changed under the interactive session (layer removed "
-                "or its type changed); the session cannot continue")
+                "or its type changed); the session cannot continue"))
         return self.image
 
     def reset_size(self):

@@ -28,6 +28,7 @@ import numpy as np
 
 from .config import AuxLayerType
 from .errors import LqrStateError
+from .i18n import _, N_
 from .image_model import Image, Layer
 
 # default_pres_col / default_disc_col / default_rigmask_col /
@@ -37,9 +38,9 @@ DISC_COLOR = (1.0, 0.0, 0.0)
 RIGMASK_COLOR = (0.0, 0.0, 1.0)
 GRAY_COLOR = (0.333333, 0.333333, 0.333333)
 
-_TYPE_NAMES = {AuxLayerType.PRES: "preservation mask",
-               AuxLayerType.DISC: "discard mask",
-               AuxLayerType.RIGMASK: "rigidity mask"}
+_TYPE_NAMES = {AuxLayerType.PRES: N_("preservation mask"),
+               AuxLayerType.DISC: N_("discard mask"),
+               AuxLayerType.RIGMASK: N_("rigidity mask")}
 
 
 def colour_from_type(image: Image, layer_type: AuxLayerType):
@@ -62,7 +63,7 @@ def new_mask_layer(image: Image, layer_type: AuxLayerType,
     active = image.active_layer
     c = 4 if active.bpp >= 3 else 2     # RGBA / GRAYA
     pixels = np.zeros((active.height, active.width, c), np.uint8)
-    mask = Layer(name=name or f"{_TYPE_NAMES[layer_type]} layer",
+    mask = Layer(name=name or f"{_(_TYPE_NAMES[layer_type])} layer",
                  pixels=pixels, x_off=active.x_off, y_off=active.y_off,
                  opacity=50.0)
     image.add_layer(mask, 0)
@@ -106,7 +107,7 @@ class MaskEditSession:
         coverage (a full-opacity brush stroke).
         """
         if self._done:
-            raise LqrStateError("mask edit session already closed")
+            raise LqrStateError(_("mask edit session already closed"))
         cov = np.clip(np.asarray(region, np.float32), 0.0, 1.0) * strength
         if cov.shape != self.layer.pixels.shape[:2]:
             raise LqrStateError(

@@ -12,6 +12,8 @@ from __future__ import annotations
 import sys
 import time
 
+from .i18n import _
+
 
 class Progress:
     """Base protocol (no-op). init/update/end like LqrProgress."""
@@ -49,8 +51,8 @@ class ConsoleProgress(Progress):
 
     def end(self):
         dt = time.time() - self._t0
-        self.stream.write(f"\r{self._msg} done in {dt:.2f}s" +
-                          " " * self.width + "\n")
+        done = _("done in {seconds:.2f}s").format(seconds=dt)
+        self.stream.write(f"\r{self._msg} {done}" + " " * self.width + "\n")
         self.stream.flush()
 
 

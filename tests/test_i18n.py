@@ -39,6 +39,48 @@ def test_locale_dir_language_lookup(tmp_path, monkeypatch):
     assert i18n._("error") == "Fehler"
 
 
+def test_bundled_catalogs_ship_and_are_complete(monkeypatch):
+    """The reference ships 15 languages (configure.ac:91); we bundle the
+    major help languages it/ru/es and they must cover every msgid."""
+    import subprocess
+    import sys
+    assert {"it", "ru", "es"} <= set(i18n.available_languages())
+    r = subprocess.run([sys.executable, "scripts/extract_messages.py",
+                        "--check"], capture_output=True, text=True,
+                       cwd=str(__import__("pathlib").Path(
+                           i18n.BUNDLED_DIR).parents[1]))
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.parametrize("lang,expect", [
+    ("it", "Ridimensionamento della larghezza..."),
+    ("ru", "Изменяется ширина..."),
+    ("es", "Redimensionando la anchura..."),
+])
+def test_bundled_language_lookup(monkeypatch, lang, expect):
+    monkeypatch.delenv("LQR_TPU_LOCALE_FILE", raising=False)
+    monkeypatch.delenv("LQR_TPU_LOCALE_DIR", raising=False)
+    monkeypatch.setenv("LANGUAGE", lang)
+    i18n.reset()
+    assert i18n._("Resizing width...") == expect
+
+
+def test_mask_and_map_strings_translate(monkeypatch, make_image):
+    monkeypatch.delenv("LQR_TPU_LOCALE_FILE", raising=False)
+    monkeypatch.delenv("LQR_TPU_LOCALE_DIR", raising=False)
+    monkeypatch.setenv("LANGUAGE", "it")
+    i18n.reset()
+    from lqr_tpu.config import AuxLayerType
+    from lqr_tpu.image_model import Image
+    from lqr_tpu.interactive import InteractiveSession
+    from lqr_tpu.masks import new_mask_layer
+    img = Image.from_array(make_image(h=12, w=16))
+    m = new_mask_layer(img, AuxLayerType.PRES)
+    assert m.name == "maschera di preservazione layer"
+    sess = InteractiveSession(Image.from_array(make_image(h=12, w=16)))
+    assert "larghezza" in sess.map_info().describe()
+
+
 def test_progress_message_is_translated(tmp_path, monkeypatch, make_image):
     cat = tmp_path / "xx.json"
     cat.write_text(json.dumps({"Resizing width...": "XX-WIDTH"}))
