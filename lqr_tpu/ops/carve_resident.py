@@ -2,35 +2,61 @@
 
 The chunked hot path (engine._hot_chunk) launches 2 Pallas kernels + XLA
 energy/compact passes PER SEAM; at small sizes the per-launch and
-inter-kernel HBM round-trips dominate (VERDICT r1 "next" #3: 512x384 was
-~126 us/seam of which the row DP is only ~30 us). This kernel carves a
-whole chunk of up to KC seams in ONE ``pallas_call``:
+inter-kernel HBM round-trips dominate. This kernel carves a whole chunk of
+up to KC seams in ONE ``pallas_call``:
 
 - grid = (KC,), one sequential grid step per seam;
-- every compacted plane (reader plane, bias, rigidity) lives in VMEM
-  scratch for the whole chunk — DMA'd in once from HBM at step 0 and back
-  out at the last step (``input_output_aliases`` keeps HBM in place);
-- per seam: energy rows computed on the fly from the resident reader
-  plane, the forward DP runs with a PLAIN-MIN value chain (the tie-rank
-  bookkeeping is moved OFF the critical M[y-1] -> M[y] dependency chain:
-  backpointers are derived by rank-ordered equality against the min, which
-  depends on the same values but feeds nothing downstream), and one
-  reverse sweep walks the seam, records it, and compacts the planes
-  in place.
+- every compacted plane (reader plane, bias, rigidity, column->reference
+  ``posmap``) lives in VMEM scratch for the whole chunk — DMA'd in once
+  from HBM at step 0 and back out at the last step
+  (``input_output_aliases`` keeps HBM in place);
+- per seam: a forward sweep (energy + row DP) and a backward sweep
+  (seam chase + record + in-place compaction).
+
+Issue-rate design (the v5e bottleneck at small widths is per-op issue
+cost, not bandwidth — a (f=4, L=128) row op costs the same slot as a full
+(8, 128) vreg): every row-PARALLEL computation is batched over a CH-row
+chunk as one (CH*f, L) op stack (full vreg utilization), leaving only the
+two irreducible sequential chains at (f, L):
+
+  forward  — the M[y-1] -> M[y] min chain (plain min tree; no tie-rank
+             bookkeeping on the chain: backpointers are derived OFF-chain,
+             batched per chunk, by rank-ordered equality against the min,
+             which reproduces a take-chain's tie-breaks exactly);
+  backward — the one-hot seam chase x[y-1] = x[y] + bp[y, x[y]].
+
+Batched per chunk: the energy stencil (+bias), the rigidity premultiplies,
+the backpointer derivation (shifts/equalities/rank selects), the seam-
+record rows, and the compaction of every plane (using the ge rows the
+chase emits).
+
+The resident ``posmap`` plane (the compacted-column -> reference-column
+map, liblqr's vmap bookkeeping analog, /root/reference/src/
+io_functions.c:216-219) lets the kernel record every seam directly in
+REFERENCE coordinates: the engine's per-chunk history commit becomes one
+scatter — the former 127-step column-map composition + row sort
+(~1.9 ms per 128-seam chunk at 512x384) disappears.
 
 Numerics are bit-identical to engine._carve_once: the same f32 adds and
-compares in the same order (min is order-invariant for the values, and
-rank-ordered equality reproduces the take-chain's tie-breaks exactly).
+compares in the same elementwise order (batching a shift/stencil over rows
+does not change any per-element operation, and min is order-invariant for
+values).
 
-Seam rows are emitted fold-reduced into a [KC, H, L] i32 output (one
-nonzero per row = column index + 1; a full-width index broadcast would
-cost ~18 rolls per row, a scalar store ~0.5 us); the caller sum-reduces
-the lane dim to the [KC, H] history that engine._commit_hist consumes.
+Measured-negative experiments kept for the record (v5e, 512x384):
+- precomputing the NEXT seam's energy during the backward sweep (ESCR)
+  LOSES (85 vs 68 us/seam): the backward sweep is issue-bound like the
+  forward one, so the moved energy ops cost more there than they save;
+- packing M and b into one (2f, L) array so +-1 shifts serve both the DP
+  window and the energy gradient: NEUTRAL (within noise);
+- fusing the energy stencil into the sequential DP row loop (vs batching
+  it per chunk off-chain): the per-row variant was the r2 design — the
+  chunk-batched form in this file replaces it (see BENCH_r03).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,22 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dp_pallas import (_fold_factor, _is_pow2, _shift_folded, _rank_consts,
-                        _energy_row_folded, _interpret, _CHUNK)
-
-
-def _use_escr(nrg: int) -> bool:
-    """Precompute the NEXT seam's energy during the backward sweep
-    (possible for the row-local x-gradient/null families) and have the
-    forward sweep read it from VMEM.
-
-    Measured on v5e: LOSES (85 vs 68 us/seam at 512x384) — the backward
-    sweep is issue-bound like the forward one, so the moved energy ops
-    cost more there (plus an extra plane of VMEM traffic) than they save.
-    Kept behind LQR_RESIDENT_ESCR=1 for future hardware where the chase
-    chain's latency dominates the backward sweep."""
-    import os
-    return (os.environ.get("LQR_RESIDENT_ESCR") == "1"
-            and nrg in (0, 3, 6))
+                        _interpret, _CHUNK)
 
 
 def resident_ok(H: int, Wb: int, has_bias: bool, has_rig: bool,
@@ -66,27 +77,95 @@ def resident_ok(H: int, Wb: int, has_bias: bool, has_rig: bool,
         return False
     if H % _CHUNK != 0:
         return False
-    planes = 1 + int(has_bias) + int(has_rig) + int(_use_escr(nrg))
-    vmem = H * Wb * (4 * planes + 1) + 2 * H * 128 * 4
+    planes = 2 + int(has_bias) + int(has_rig)   # reader + posmap (+aux)
+    L = Wb // f
+    # planes (4B) + backpointers (1B) + double-buffered record plane
+    vmem = H * Wb * (4 * planes + 1) + 2 * H * L * 4
     return vmem <= (14 << 20)
 
 
-def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
+def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
+                 edge: bool = True):
+    """Batched _shift_folded: M is (R*f, L) holding R independent folded
+    rows (each row = f consecutive sublanes). shifted[x] = row[x + d] per
+    row, out-of-range -> fill.
+
+    One global sublane roll serves every row's fold crossing: the values a
+    row borrows from its neighbor row land only at positions the per-row
+    ``glane_row`` edge mask fills anyway (positions x >= W - d for d > 0,
+    x < -d for d < 0), so results are bit-identical to per-row
+    _shift_folded.
+
+    edge=False skips the out-of-range fill select — callers that mask the
+    edge region themselves (the energy stencil's edge-replicate selects
+    subsume it) save one vector op."""
+    if d == 0:
+        return M
+    Rf = M.shape[0]
+    W = f * L
+    if d > 0:
+        a = pltpu.roll(M, (-d) % L, axis=1)
+        ms = pltpu.roll(M, Rf - 1, axis=0)          # global M[s+1]
+        b = pltpu.roll(ms, (-d) % L, axis=1)
+        out = jnp.where(lane >= L - d, b, a)
+        if not edge:
+            return out
+        return jnp.where(glane_row >= W - d, fill, out)
+    dd = -d
+    a = pltpu.roll(M, dd, axis=1)
+    ms = pltpu.roll(M, 1 % Rf, axis=0)              # global M[s-1]
+    b = pltpu.roll(ms, dd, axis=1)
+    out = jnp.where(lane < dd, b, a)
+    if not edge:
+        return out
+    return jnp.where(glane_row < dd, fill, out)
+
+
+def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,
+                  lane, glane_row):
+    """Batched energy stencil over a (CH*f, L) stack of reader-plane rows
+    (same elementwise op order as core.energy.energy_from_plane /
+    SPEC.md §2). b_up / b_dn: the stack shifted one ROW up / down with
+    edge rows replicated (unused for the row-local nrg families)."""
+    if nrg == 6:                                        # NULL
+        return jnp.zeros(bst.shape, jnp.float32)
+    br = _shift_stack(bst, 1, jnp.float32(0), f, L, lane, glane_row)
+    br = jnp.where(glane_row >= w - 1, bst, br)         # replicate right edge
+    bl = _shift_stack(bst, -1, jnp.float32(0), f, L, lane, glane_row)
+    bl = jnp.where(glane_row == 0, bst, bl)             # replicate left edge
+    gx = (br - bl) * jnp.float32(0.5)
+    if nrg in (0, 3):                                   # *_XABS
+        return jnp.abs(gx)
+    gy = (b_dn - b_up) * jnp.float32(0.5)
+    if nrg in (1, 4):                                   # *_SUMABS
+        return (jnp.abs(gx) + jnp.abs(gy)) * jnp.float32(0.5)
+    return jnp.sqrt(gx * gx + gy * gy)                  # *_NORM
+
+
+def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
+    """Grid-stepped multi-seam kernel: grid = (KC,), one seam per step.
+
+    A gridless variant (single invocation, dynamic fori over seams,
+    double-buffered async record DMA) was measured SLOWER on v5e
+    (70.6 vs 66.6 us true per-seam at 512x384): Mosaic's grid stepping
+    machinery is cheaper than an scf.while iteration plus explicit DMA
+    bookkeeping per seam. Kept grid-stepped."""
     it = iter(refs)
     sc_ref = next(it)                      # SMEM [1, 3]: w0, d0, kc
-    b_hbm = next(it)                       # ANY  [H, f, L] f32
+    b_hbm = next(it)                       # ANY  [H*f, L] f32
     bias_hbm = next(it) if has_bias else None
     rig_hbm = next(it) if has_rig else None
-    seam_ref = next(it)                    # VMEM block [1, H, 128] i32
-    bo_hbm = next(it)                      # ANY  [H, f, L] f32 (aliased)
+    pm_hbm = next(it)                      # ANY  [H*f, L] i32
+    seam_ref = next(it)                    # VMEM block [1, H, L] i32
+    bo_hbm = next(it)                      # ANY (aliased)
     biaso_hbm = next(it) if has_bias else None
     rigo_hbm = next(it) if has_rig else None
-    b_scr = next(it)                       # VMEM [H, f, L] f32
+    pmo_hbm = next(it)                     # ANY (aliased)
+    b_scr = next(it)                       # VMEM [H*f, L] f32
     bias_scr = next(it) if has_bias else None
     rig_scr = next(it) if has_rig else None
-    use_e = _use_escr(nrg)
-    e_scr = next(it) if use_e else None    # VMEM [H, f, L] f32 (energy+bias)
-    bp_scr = next(it)                      # VMEM [H, f, L] i8
+    pm_scr = next(it)                      # VMEM [H*f, L] i32
+    bp_scr = next(it)                      # VMEM [H*f, L] i8
     sem = next(it)
 
     i = pl.program_id(0)
@@ -97,143 +176,116 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
     cands = _rank_consts(delta_x, H)
     by_left = sorted(cands, key=lambda c: c[1])
     by_right = sorted(cands, key=lambda c: c[2])
+    CH = _CHUNK
+    NC = H // CH
+    fwd_only = bool(os.environ.get("LQR_RESIDENT_FWD_ONLY"))
+
+    # loop-constant index maps: per-row geometry for single rows (f, L)
+    # and for CH-row stacks (CH*f, L)
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
     glane = sub * L + lane
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 1)
+    subS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 0)
+    glaneS = (subS % f) * L + laneS
     W = f * L
-    CH = _CHUNK
 
     @pl.when(i == 0)
     def _():
         for src, dst in ((b_hbm, b_scr), (bias_hbm, bias_scr),
-                         (rig_hbm, rig_scr)):
+                         (rig_hbm, rig_scr), (pm_hbm, pm_scr)):
             if src is not None:
                 cp = pltpu.make_async_copy(src, dst, sem)
                 cp.start()
                 cp.wait()
 
-    s_idx = d0 + i + 1                     # global 1-based seam index
-    w = w0 - i                             # current compacted width
-    if ssf > 0:
-        pref_left = (((s_idx - 1) // ssf) % 2) == 0
-    else:
-        pref_left = jnp.bool_(True)
-
-    def shifted_cands(M_prev, rig_row):
-        out = []
-        for dx, rl, rr, rigc in cands:
-            c = _shift_folded(M_prev, dx, inf, f, L)
-            if has_rig and dx != 0:
-                c = c + rig_row * rigc
-            out.append((dx, rl, rr, c))
-        return out
-
-    # NOTE perf provenance (v5e measurements, 512x384, 400-seam slope):
-    # - packing M and b into one (2f, L) array so +-1 shifts serve both
-    #   the DP window and the energy gradient: NEUTRAL (77.5 vs 76 us,
-    #   within noise) — rejected as unjustified complexity;
-    # - precomputing the next seam's energy in the backward sweep: LOSES
-    #   (see _use_escr). The residual per-seam cost is per-op issue at
-    #   half-vreg (f, L) shapes across ~2H sequential rows; the next
-    #   structural lever would be a bit-exactness-preserving multi-row
-    #   composition of the backward chase.
-
-    def dp_row(M_prev, e_tot, rig_row, first=False):
-        """first=True (static): global row 0, no predecessor (peeled so
-        the common row never pays a select on the M value chain)."""
+    def dp_row(M_prev, e_row, rig_terms, pref_left, first: bool):
+        """One DP row at (f, L). The value chain is a plain min tree (ties
+        don't affect values); backpointers come from rank-ordered first
+        equality against the min — the same choices as a take-chain, OFF
+        the M[y-1] -> M[y] dependency chain. first=True (static): global
+        row 0, no predecessor."""
         if first:
-            return e_tot, jnp.zeros((f, L), jnp.int32)
-        cs = shifted_cands(M_prev, rig_row)
-        shifted = {dx: c for dx, _, _, c in cs}
-        # value chain: plain min tree (tie-ranks don't affect values)
-        best = cs[0][3]
-        for _, _, _, c in cs[1:]:
-            best = jnp.minimum(best, c)
-        M_row = e_tot + best
-        # backpointers: rank-ordered first equality vs the min — same
-        # choices as a take-chain, but OFF the M dependency chain. One
-        # shared equality set, then a reverse-nested select per side.
-        eqs = {dx: shifted[dx] == best for dx, _, _, _ in cs}
+            return e_row, jnp.zeros((f, L), jnp.int32)
+        shifted = {}
+        best = None
+        for dx, _, _, _ in cands:
+            c = _shift_folded(M_prev, dx, inf, f, L)
+            if rig_terms is not None and dx != 0:
+                c = c + rig_terms[dx]
+            shifted[dx] = c
+            best = c if best is None else jnp.minimum(best, c)
+        eqs = {dx: shifted[dx] == best for dx, _, _, _ in cands}
 
         def nested(order):
             bp = jnp.full((f, L), jnp.int32(order[-1][0]))
             for dx, _, _, _ in reversed(order[:-1]):
                 bp = jnp.where(eqs[dx], jnp.int32(dx), bp)
             return bp
-        return M_row, jnp.where(pref_left, nested(by_left),
-                                nested(by_right))
+        bp = jnp.where(pref_left, nested(by_left), nested(by_right))
+        return e_row + best, bp
 
-    def _carve(read_e: bool):
-        # ---- forward: energy read from e_scr (precomputed by the
-        # previous seam's backward sweep) or computed on the fly; M values
-        # only on the chain, bp off-chain
-        def fwd_rows(base, M_prev, b_prev, bch, bias_ch, rig_ch, e_ch,
-                     nxt_row, first_chunk: bool):
-            bps = []
-            for j in range(CH):
-                r = base + j
-                first = first_chunk and j == 0
-                if read_e:
-                    e = e_ch[j]
-                else:
-                    b_row = bch[j]
-                    if first:
-                        b_up = b_row                    # top edge replicate
-                    else:
-                        b_up = b_prev if j == 0 else bch[j - 1]
-                    b_dn_raw = bch[j + 1] if j + 1 < CH else nxt_row
-                    b_dn = jnp.where(r == H - 1, b_row, b_dn_raw)
-                    e = _energy_row_folded(b_row, b_up, b_dn, w, glane,
-                                           nrg, f, L)
-                    if has_bias:
-                        e = e + bias_ch[j]
-                e_tot = jnp.where(glane < w, e, inf)
-                M_prev, bp = dp_row(M_prev, e_tot,
-                                    rig_ch[j] if has_rig else None,
-                                    first=first)
-                bps.append(bp)
-            return M_prev, jnp.stack(bps).astype(jnp.int8)
-
-        def fwd_chunk(k, carry):
-            M_prev, b_prev = carry
-            base = k * CH
-            if read_e:
-                bch = None
-                e_ch = e_scr[pl.ds(base, CH)]
-                nxt_row = b_prev
-            else:
-                bch = b_scr[pl.ds(base, CH)]
-                e_ch = None
-                nbase = jnp.minimum(base + CH, H - 1)
-                nxt_row = b_scr[pl.ds(nbase, 1)][0]
-            bias_ch = (bias_scr[pl.ds(base, CH)]
-                       if (has_bias and not read_e) else None)
-            rig_ch = rig_scr[pl.ds(base, CH)] if has_rig else None
-            M_prev, bps = fwd_rows(base, M_prev, b_prev, bch, bias_ch,
-                                   rig_ch, e_ch, nxt_row,
-                                   first_chunk=False)
-            bp_scr[pl.ds(base, CH)] = bps
-            return (M_prev, b_prev if read_e else bch[CH - 1])
-
-        # chunk 0 peeled (static first_chunk=True: row 0 pays no selects)
-        if read_e:
-            bch0 = None
-            e_ch0 = e_scr[0:CH]
-            nxt0 = jnp.zeros((f, L), jnp.float32)
-            bias0 = None
+    def fwd_chunk(base_v, M_in, prev_last, w, pref_left,
+                  first_chunk: bool):
+        """Forward-process CH rows starting at vector row base_v (= row
+        index * f): energy batched at (CH*f, L) full-vreg occupancy, then
+        the sequential DP chain row by row. Returns (M_last, last plane
+        row of the chunk)."""
+        bst = b_scr[pl.ds(base_v, CH * f)]
+        if nrg in (1, 2, 4, 5):            # gy-dependent energies
+            b_up = jnp.concatenate([prev_last, bst[:-f]], axis=0)
+            nb = jnp.minimum(base_v + CH * f, (H - 1) * f)
+            nxt = b_scr[pl.ds(nb, f)]
+            b_dn = jnp.concatenate([bst[f:], nxt], axis=0)
         else:
-            bch0 = b_scr[0:CH]
-            e_ch0 = None
-            nxt0 = b_scr[CH:CH + 1][0] if H > CH else b_scr[H - 1:H][0]
-            bias0 = bias_scr[0:CH] if has_bias else None
-        rig0 = rig_scr[0:CH] if has_rig else None
-        M0, bps0 = fwd_rows(0, None, None, bch0, bias0, rig0, e_ch0, nxt0,
-                            first_chunk=True)
-        bp_scr[0:CH] = bps0
+            b_up = b_dn = None
+        e = _energy_stack(bst, b_up, b_dn, w, nrg, f, L, laneS, glaneS)
+        if has_bias:
+            e = e + bias_scr[pl.ds(base_v, CH * f)]
+        e_tot = jnp.where(glaneS < w, e, inf)
+        if has_rig:
+            rig_st = rig_scr[pl.ds(base_v, CH * f)]
+        else:
+            rig_st = None
 
-        M_last, _ = jax.lax.fori_loop(
-            1, H // CH, fwd_chunk,
-            (M0, nxt0 if read_e else bch0[CH - 1]))
+        M_prev = M_in
+        bps = []
+        for j in range(CH):
+            e_row = jax.lax.slice_in_dim(e_tot, j * f, (j + 1) * f, axis=0)
+            if has_rig:
+                rr = jax.lax.slice_in_dim(rig_st, j * f, (j + 1) * f,
+                                          axis=0)
+                rig_terms = {dx: rr * rigc
+                             for dx, _, _, rigc in cands if dx != 0}
+            else:
+                rig_terms = None
+            M_row, bp = dp_row(M_prev, e_row, rig_terms, pref_left,
+                               first=(first_chunk and j == 0))
+            bps.append(bp)
+            M_prev = M_row
+        bp_scr[pl.ds(base_v, CH * f)] = \
+            jnp.concatenate(bps, axis=0).astype(jnp.int8)
+        return M_prev, bst[(CH - 1) * f:]
+
+    def seam_body():
+        w = w0 - i                         # current compacted width
+        s_idx = d0 + i + 1                 # global 1-based seam index
+        if ssf > 0:
+            pref_left = (((s_idx - 1) // ssf) % 2) == 0
+        else:
+            pref_left = jnp.bool_(True)
+
+        # ---- forward: chunk 0 peeled (static first_chunk=True)
+        M0, last0 = fwd_chunk(0, jnp.zeros((f, L), jnp.float32),
+                              b_scr[0:f], w, pref_left, first_chunk=True)
+
+        def fwd_loop(k, carry):
+            M_in, prev_last = carry
+            base_v = pl.multiple_of(k * CH * f, CH * f)
+            return fwd_chunk(base_v, M_in, prev_last, w, pref_left,
+                             first_chunk=False)
+
+        M_last, _ = jax.lax.fori_loop(1, NC, fwd_loop, (M0, last0))
 
         # ---- start position: argmin of the last row, side-tie rule
         mmin = jnp.min(M_last)
@@ -245,67 +297,79 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
         ge0 = (glane >= x0).astype(jnp.int32)   # i32: bool carries don't
         # legalize through Mosaic's scf.for lowering
 
-        # ---- backward: record seam (as a one-hot row — computing the
-        # broadcast column index costs ~18 rolls/row), compact planes in
-        # place, chase bp. The >=seam compaction mask ``ge`` rides the
-        # chase incrementally: moving the seam by d just clears/sets the
-        # columns between old and new positions — O(delta_x^2) cheap ops
-        # instead of a log-width broadcast per row.
-        def compact(a_row, ge):
-            out = jnp.where(ge, _shift_folded(a_row, 1, jnp.float32(0),
-                                              f, L), a_row)
-            return jnp.where(glane < w - 1, out, jnp.float32(0))
-
-        import os as _os
-        if _os.environ.get("LQR_RESIDENT_FWD_ONLY"):   # perf debug knob
+        if fwd_only:                       # perf debug knob
             seam_ref[0, :, :] = jnp.zeros((H, L), jnp.int32)
             return
 
+        # ---- backward: chase the seam (sequential one-hot walk), record
+        # in REFERENCE coordinates via the resident posmap, and compact
+        # every plane in place. The >=seam compaction mask ``ge`` rides the
+        # chase incrementally: moving the seam by d just clears/sets the
+        # columns between old and new positions — O(delta_x^2) cheap ops
+        # instead of a log-width broadcast per row.
+        #
+        # Compaction does NOT zero the vacated column x >= w-1: values at
+        # x >= current width are never read (the energy width mask, the
+        # +inf DP guard and the in-range seam walk all exclude them), so
+        # the scan-path contract (zeros there) is restored by one batched
+        # zeroing pass at the end of the kernel instead of a select per
+        # row per plane per seam.
+        def compact(a_row, ge_b, fill):
+            return jnp.where(ge_b,
+                             _shift_folded(a_row, 1, fill, f, L,
+                                           edge=False), a_row)
+
         def bwd_chunk(k, carry):
             oh, ge = carry
-            base = H - (k + 1) * CH
-            bp_ch = bp_scr[pl.ds(base, CH)].astype(jnp.int32)
-            b_ch = b_scr[pl.ds(base, CH)]
-            bias_ch = bias_scr[pl.ds(base, CH)] if has_bias else None
-            rig_ch = rig_scr[pl.ds(base, CH)] if has_rig else None
-            ohs = [None] * CH
+            base = pl.multiple_of(H - (k + 1) * CH, CH)
+            base_v = pl.multiple_of(base * f, CH * f)
+            bp_ch = bp_scr[pl.ds(base_v, CH * f)].astype(jnp.int32)
+            b_ch = b_scr[pl.ds(base_v, CH * f)]
+            pm_ch = pm_scr[pl.ds(base_v, CH * f)]
+            pm1_ch = pm_ch + 1                     # batched once per chunk
+            bias_ch = (bias_scr[pl.ds(base_v, CH * f)] if has_bias
+                       else None)
+            rig_ch = rig_scr[pl.ds(base_v, CH * f)] if has_rig else None
+
+            def row_of(st, j):
+                return jax.lax.slice_in_dim(st, j * f, (j + 1) * f, axis=0)
+
+            recs = [None] * CH
             bos = [None] * CH
+            pmos = [None] * CH
             biasos = [None] * CH
             rigos = [None] * CH
-            es = [None] * CH
             for j in range(CH - 1, -1, -1):
-                # encoded record: fold-reduce the one-hot to a [1, L] row
-                # whose single nonzero is (column index + 1) — 4 cheap ops
-                # vs a log-width broadcast; the +1 disambiguates column 0
-                ohs[j] = jnp.sum(oh * (glane + 1), axis=0, keepdims=True)
+                # record: fold-reduce the one-hot against the posmap to a
+                # [1, L] row whose single nonzero is (ref column + 1)
+                recs[j] = jnp.sum(oh * row_of(pm1_ch, j), axis=0,
+                                  keepdims=True)
                 ge_b = ge != 0
-                bos[j] = compact(b_ch[j], ge_b)
+                bos[j] = compact(row_of(b_ch, j), ge_b, jnp.float32(0))
+                pmos[j] = compact(row_of(pm_ch, j), ge_b, jnp.int32(0))
                 if has_bias:
-                    biasos[j] = compact(bias_ch[j], ge_b)
+                    biasos[j] = compact(row_of(bias_ch, j), ge_b,
+                                        jnp.float32(0))
                 if has_rig:
-                    rigos[j] = compact(rig_ch[j], ge_b)
-                if use_e:
-                    # next seam's energy from the compacted row (x-gradient
-                    # family: row-local) — rides the chase chain's idle
-                    # issue slots; bias pre-folded, width mask in fwd
-                    er = _energy_row_folded(bos[j], bos[j], bos[j],
-                                            w - 1, glane, nrg, f, L)
-                    if has_bias:
-                        er = er + biasos[j]
-                    es[j] = er
-                bp_row = bp_ch[j]
+                    rigos[j] = compact(row_of(rig_ch, j), ge_b,
+                                       jnp.float32(0))
+                bp_row = row_of(bp_ch, j)
                 nxt = oh * (bp_row == 0).astype(jnp.int32)
                 m_pos = []
                 for d in range(1, delta_x + 1):
+                    # edge=False: a spurious wrap would need a backpointer
+                    # crossing the +inf guard band — impossible
                     mn = oh * (bp_row == -d).astype(jnp.int32)
                     mp = oh * (bp_row == d).astype(jnp.int32)
                     m_pos.append(mp)
-                    nxt = nxt + _shift_folded(mn, d, jnp.int32(0), f, L)
-                    nxt = nxt + _shift_folded(mp, -d, jnp.int32(0), f, L)
+                    nxt = nxt + _shift_folded(mn, d, jnp.int32(0), f, L,
+                                              edge=False)
+                    nxt = nxt + _shift_folded(mp, -d, jnp.int32(0), f, L,
+                                              edge=False)
                 # ge update: remove columns [s, s_prev) when the seam moved
                 # right (d > 0); adding shifts of oh_prev covers
-                # [s_prev, s_prev + delta_x), which is a superset of the
-                # newly-uncovered [s_prev, s) and otherwise redundant
+                # [s_prev, s_prev + delta_x), a superset of the newly
+                # uncovered [s_prev, s) and otherwise redundant
                 rm = jnp.zeros((f, L), jnp.int32)
                 for d in range(1, delta_x + 1):
                     for j2 in range(d):
@@ -319,36 +383,48 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
                 ge = jnp.where(rm != 0, jnp.int32(0), ge)
                 ge = jnp.where(add != 0, jnp.int32(1), ge)
                 oh = nxt
-            seam_ref[0, pl.ds(base, CH), :] = jnp.concatenate(ohs, axis=0)
-            b_scr[pl.ds(base, CH)] = jnp.stack(bos)
+
+            seam_ref[0, pl.ds(base, CH), :] = \
+                jnp.concatenate(recs, axis=0)
+            b_scr[pl.ds(base_v, CH * f)] = jnp.concatenate(bos, axis=0)
+            pm_scr[pl.ds(base_v, CH * f)] = jnp.concatenate(pmos, axis=0)
             if has_bias:
-                bias_scr[pl.ds(base, CH)] = jnp.stack(biasos)
+                bias_scr[pl.ds(base_v, CH * f)] = \
+                    jnp.concatenate(biasos, axis=0)
             if has_rig:
-                rig_scr[pl.ds(base, CH)] = jnp.stack(rigos)
-            if use_e:
-                e_scr[pl.ds(base, CH)] = jnp.stack(es)
+                rig_scr[pl.ds(base_v, CH * f)] = \
+                    jnp.concatenate(rigos, axis=0)
             return (oh, ge)
 
-        jax.lax.fori_loop(0, H // CH, bwd_chunk, (oh0, ge0))
+        jax.lax.fori_loop(0, NC, bwd_chunk, (oh0, ge0))
 
-    if use_e:
-        @pl.when(i == 0)
-        def _():
-            _carve(read_e=False)
+    @pl.when(i < kc)
+    def _():
+        seam_body()
 
-        @pl.when((i > 0) & (i < kc))
-        def _():
-            _carve(read_e=True)
-    else:
-        @pl.when(i < kc)
-        def _():
-            _carve(read_e=False)
-
-    # write the planes back once, at the last grid step (active or not)
+    # at the last grid step: restore the scan-path contract (zeros at
+    # x >= final width — per-seam compaction skips that select), then
+    # write the planes back once
     @pl.when(i == KC - 1)
     def _():
+        w_final = w0 - kc
+
+        def zero_chunk(k, _):
+            base_v = pl.multiple_of(k * CH * f, CH * f)
+            keep = glaneS < w_final
+            sl = pl.ds(base_v, CH * f)
+            b_scr[sl] = jnp.where(keep, b_scr[sl], jnp.float32(0))
+            pm_scr[sl] = jnp.where(keep, pm_scr[sl], jnp.int32(0))
+            if has_bias:
+                bias_scr[sl] = jnp.where(keep, bias_scr[sl],
+                                         jnp.float32(0))
+            if has_rig:
+                rig_scr[sl] = jnp.where(keep, rig_scr[sl], jnp.float32(0))
+            return 0
+
+        jax.lax.fori_loop(0, NC, zero_chunk, 0)
         for src, dst in ((b_scr, bo_hbm), (bias_scr, biaso_hbm),
-                         (rig_scr, rigo_hbm)):
+                         (rig_scr, rigo_hbm), (pm_scr, pmo_hbm)):
             if dst is not None:
                 cp = pltpu.make_async_copy(src, dst, sem)
                 cp.start()
@@ -357,16 +433,18 @@ def _kernel(*refs, KC, BRH, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
 
 @functools.partial(jax.jit, static_argnames=("delta_x", "has_bias",
                                              "has_rig", "nrg", "ssf", "KC"))
-def carve_chunk_resident(cur_b, cur_bias, cur_rig, w0, d0, kc,
+def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
                          delta_x: int, has_bias: bool, has_rig: bool,
                          nrg: int, ssf: int, KC: int):
     """Carve up to KC seams VMEM-resident.
 
-    cur_b/[cur_bias]/[cur_rig]: [H, Wb] f32 compacted planes; w0 = current
+    cur_b/[cur_bias]/[cur_rig]: [H, Wb] f32 compacted planes; posmap:
+    [H, Wb] i32 compacted-column -> reference-column map; w0 = current
     width (traced); d0 = current depth (traced); kc = seams to carve
     (traced, <= KC; grid steps past kc are skipped). Returns
-    (hist [KC, H] i32 — compacted per-frame seam coords, rows >= kc
-    garbage; cur_b'; cur_bias'; cur_rig'). Caller gates on resident_ok.
+    (hist [KC, H] i32 — REFERENCE-coordinate seam columns, rows >= kc
+    garbage; cur_b'; cur_bias'; cur_rig'; posmap'). Caller gates on
+    resident_ok.
     """
     H, Wb = cur_b.shape
     f = _fold_factor(Wb)
@@ -374,36 +452,40 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, w0, d0, kc,
     sc = jnp.stack([jnp.asarray(w0, jnp.int32), jnp.asarray(d0, jnp.int32),
                     jnp.asarray(kc, jnp.int32)]).reshape(1, 3)
 
-    ins = [sc, cur_b.reshape(H, f, L)]
+    ins = [sc, cur_b.reshape(H * f, L)]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY)]
     out_specs = [pl.BlockSpec((1, H, L), lambda i: (i, 0, 0)),
                  pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [jax.ShapeDtypeStruct((KC, H, L), jnp.int32),
-                 jax.ShapeDtypeStruct((H, f, L), jnp.float32)]
+                 jax.ShapeDtypeStruct((H * f, L), jnp.float32)]
     aliases = {1: 1}
-    scratch = [pltpu.VMEM((H, f, L), jnp.float32)]
+    scratch = [pltpu.VMEM((H * f, L), jnp.float32)]
     if has_bias:
-        ins.append(cur_bias.reshape(H, f, L))
+        ins.append(cur_bias.reshape(H * f, L))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((H, f, L), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((H * f, L), jnp.float32))
         aliases[len(ins) - 1] = len(out_shape) - 1
-        scratch.append(pltpu.VMEM((H, f, L), jnp.float32))
+        scratch.append(pltpu.VMEM((H * f, L), jnp.float32))
     if has_rig:
-        ins.append(cur_rig.reshape(H, f, L))
+        ins.append(cur_rig.reshape(H * f, L))
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((H, f, L), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((H * f, L), jnp.float32))
         aliases[len(ins) - 1] = len(out_shape) - 1
-        scratch.append(pltpu.VMEM((H, f, L), jnp.float32))
-    if _use_escr(nrg):
-        scratch.append(pltpu.VMEM((H, f, L), jnp.float32))
-    scratch.append(pltpu.VMEM((H, f, L), jnp.int8))
+        scratch.append(pltpu.VMEM((H * f, L), jnp.float32))
+    ins.append(posmap.reshape(H * f, L))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    out_shape.append(jax.ShapeDtypeStruct((H * f, L), jnp.int32))
+    aliases[len(ins) - 1] = len(out_shape) - 1
+    scratch.append(pltpu.VMEM((H * f, L), jnp.int32))
+    scratch.append(pltpu.VMEM((H * f, L), jnp.int8))
     scratch.append(pltpu.SemaphoreType.DMA)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, KC=KC, BRH=H, delta_x=delta_x,
+        functools.partial(_kernel, KC=KC, delta_x=delta_x,
                           has_bias=has_bias, has_rig=has_rig, nrg=nrg,
                           ssf=ssf, H=H, f=f, L=L),
         grid=(KC,),
@@ -415,7 +497,7 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, w0, d0, kc,
         interpret=_interpret(),
     )(*ins)
 
-    # seam rows were recorded fold-reduced: one nonzero = column index + 1
+    # seam rows were recorded fold-reduced: one nonzero = ref column + 1
     hist = jnp.sum(outs[0], axis=2, dtype=jnp.int32) - 1
     b_out = outs[1].reshape(H, Wb)
     k = 2
@@ -426,4 +508,6 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, w0, d0, kc,
         k += 1
     if has_rig:
         rig_out = outs[k].reshape(H, Wb)
-    return hist, b_out, bias_out, rig_out
+        k += 1
+    pm_out = outs[k].reshape(H, Wb)
+    return hist, b_out, bias_out, rig_out, pm_out

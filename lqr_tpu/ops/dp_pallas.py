@@ -243,8 +243,14 @@ def _fold_factor(Wb: int) -> int:
     return 1
 
 
-def _shift_folded(M, d: int, fill, f: int, L: int):
-    """shifted[x] = M[x + d] on a folded row [f, L]; out-of-range -> fill."""
+def _shift_folded(M, d: int, fill, f: int, L: int, edge: bool = True):
+    """shifted[x] = M[x + d] on a folded row [f, L]; out-of-range -> fill.
+
+    edge=False skips the out-of-range fill select — for callers that can
+    prove the edge region is never read or never populated (e.g. one-hot
+    seam walks whose position provably stays in range: a spurious wrapped
+    value would require a backpointer pointing out of the DP's +inf
+    guard band, which the forward pass cannot produce)."""
     if d == 0:
         return M
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
@@ -256,12 +262,16 @@ def _shift_folded(M, d: int, fill, f: int, L: int):
         ms = pltpu.roll(M, (f - 1) % f if f > 1 else 0, axis=0)  # M[s+1]
         b = pltpu.roll(ms, (-d) % L, axis=1)
         out = jnp.where(lane >= L - d, b, a)
+        if not edge:
+            return out
         return jnp.where(glane >= W - d, fill, out)
     dd = -d
     a = pltpu.roll(M, dd, axis=1)
     ms = pltpu.roll(M, 1 % f if f > 1 else 0, axis=0)            # M[s-1]
     b = pltpu.roll(ms, dd, axis=1)
     out = jnp.where(lane < dd, b, a)
+    if not edge:
+        return out
     return jnp.where(glane < dd, fill, out)
 
 

@@ -168,7 +168,11 @@ class BatchCarver:
         mesh: a jax Mesh with a 'data' axis — the batch dim of the whole
         carve state is sharded across it and the SAME jitted resize loop
         runs data-parallel (zero per-seam collectives; the sharded
-        execution of the product hot path, BASELINE.md scaling target)."""
+        execution of the product hot path, BASELINE.md scaling target).
+        With a 'cols' axis of size > 1, image columns additionally shard
+        across it and ``carve`` runs the column-sharded resize loop
+        (sharding.extend_map_sharded: per-seam row-block halo-exchange DP
+        — the spatial/sequence-parallel axis; requires equal heights)."""
         if not images:
             raise LqrImageError("BatchCarver needs at least one image")
         C = images[0].shape[2] if images[0].ndim == 3 else 1
@@ -260,18 +264,30 @@ class BatchCarver:
                                         bias=bias_f, rig=rig_f,
                                         aux=aux_planes)
         self.mesh = mesh
+        self.col_sharded = (mesh is not None and "cols" in mesh.shape
+                            and mesh.shape["cols"] > 1)
+        if self.col_sharded and self.ragged:
+            raise LqrImageError(
+                "column sharding requires equal image heights (pad or "
+                "batch same-height images together)")
         if mesh is not None:
             from .sharding import shard_batch_state
-            self.state = shard_batch_state(self.state, mesh)
+            self.state = shard_batch_state(self.state, mesh,
+                                           cols=self.col_sharded)
 
     def carve(self, n_seams):
         """Extend every map by n_seams (scalar or per-image array)."""
         n = np.broadcast_to(np.asarray(n_seams, np.int32),
                             self.widths.shape)
-        self.state = extend_map_batched(
-            self.cfg, self.state, jnp.asarray(n),
-            heights=jnp.asarray(self.heights) if self.ragged else None,
-            rigc=self._rigc)
+        if self.col_sharded:
+            from .sharding import extend_map_sharded
+            self.state = extend_map_sharded(self.mesh, self.cfg,
+                                            self.state, jnp.asarray(n))
+        else:
+            self.state = extend_map_batched(
+                self.cfg, self.state, jnp.asarray(n),
+                heights=jnp.asarray(self.heights) if self.ragged else None,
+                rigc=self._rigc)
         return self
 
     def images_at(self, new_widths):

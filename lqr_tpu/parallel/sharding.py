@@ -61,16 +61,25 @@ def make_mesh(n_devices: int | None = None, data: int | None = None):
 # data parallelism over the REAL hot path (VERDICT r1 "next" #1)
 # ---------------------------------------------------------------------------
 
-def shard_batch_state(st: MapState, mesh: Mesh) -> MapState:
-    """Place a batched MapState with the batch dim sharded over 'data'.
+def shard_batch_state(st: MapState, mesh: Mesh,
+                      cols: bool = False) -> MapState:
+    """Place a batched MapState with the batch dim sharded over 'data'
+    (and, with cols=True, image columns over 'cols').
 
     All ops in ``extend_map_batched`` are per-image (vmap), so jit
     partitions the whole resize loop data-parallel with no per-seam
-    collectives — the sharded execution of the product path."""
+    collectives — the sharded execution of the product path. With
+    cols=True the plane arrays also split along lanes for
+    ``extend_map_sharded``'s halo-exchanged DP."""
     def put(a):
         if a is None:
             return None
-        return jax.device_put(a, NamedSharding(mesh, P("data")))
+        if cols and a.ndim >= 3:
+            spec = (P("data", None, "cols") if a.ndim == 3
+                    else P("data", None, "cols", None))
+        else:
+            spec = P("data")
+        return jax.device_put(a, NamedSharding(mesh, spec))
 
     B = st.ref.shape[0]
     n_data = mesh.shape["data"]
@@ -78,6 +87,12 @@ def shard_batch_state(st: MapState, mesh: Mesh) -> MapState:
         raise LqrImageError(
             f"batch of {B} images cannot shard evenly over {n_data} "
             f"'data' devices; pad the batch to a multiple of {n_data}")
+    if cols:
+        n_cols = mesh.shape["cols"]
+        if st.ref.shape[2] % n_cols != 0:
+            raise LqrImageError(
+                f"width {st.ref.shape[2]} cannot shard evenly over "
+                f"{n_cols} 'cols' devices")
     return MapState(
         ref=put(st.ref), bias=put(st.bias), rig=put(st.rig), vs=put(st.vs),
         aux=tuple(put(a) for a in st.aux),
@@ -211,6 +226,84 @@ def find_seam_sharded(mesh: Mesh, e_tot, rig, pref_left, delta_x: int,
         rig = jnp.zeros((H, Wb), jnp.float32)
     M_last, bp = run(e_tot, rig, pref_left)
     return dp_mod.backtrack(M_last, bp, pref_left)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "cfg"))
+def extend_map_sharded(mesh: Mesh, cfg, st: MapState, k) -> MapState:
+    """The column-sharded multi-seam RESIZE loop — the sharded execution of
+    the reference's hot loop itself (``lqr_carver_resize``,
+    /root/reference/src/render.c:318), not a single-step demo.
+
+    st: batched MapState [B, ...] placed by ``shard_batch_state(mesh,
+    cols=True)`` — batch over 'data', image columns over 'cols'. Carves
+    k[b] seams per image: per seam, the forward DP runs column-sharded
+    with row-block halo exchange (find_seam_sharded), then compaction and
+    the visibility-map commit run as sharded elementwise/cumsum ops at the
+    jit level. Seam outputs are bitwise invariant to the shard count
+    (asserted by tests/test_parallel.py and __graft_entry__'s dryrun).
+    """
+    from ..core.energy import energy_from_plane
+    from ..core import engine as eng
+
+    H, Wb = cfg.H, cfg.Wb
+    lane = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32), (H, Wb))
+    B = st.ref.shape[0]
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (B,))
+    kmax = jnp.max(k)
+    has_bias, has_rig = cfg.has_bias, cfg.has_rig
+
+    def one_seam(cb, cbs, crg, w_i, s_i):
+        """One exact carve step on one image's compacted planes
+        (engine._carve_once with the DP swapped for the sharded one)."""
+        pl_ = eng.pref_is_left(s_i, cfg.side_switch_freq)
+        e = energy_from_plane(cb, w_i, cfg.nrg)
+        if has_bias:
+            e = jnp.where(lane < w_i, e + cbs, INF)
+        seam = find_seam_sharded(mesh, e, crg if has_rig else None, pl_,
+                                 cfg.delta_x, has_rig)
+        ge = lane >= seam[:, None]
+        keep = lane < (w_i - 1)
+
+        def compact(a):
+            out = jnp.where(ge, jnp.roll(a, -1, axis=1), a)
+            return jnp.where(keep, out, jnp.float32(0))
+
+        return (seam, compact(cb),
+                compact(cbs) if has_bias else cbs,
+                compact(crg) if has_rig else crg)
+
+    def body(j, carry):
+        cur_b, cur_bias, cur_rig, vs, depth = carry
+        w = st.ref_w - depth
+        s = depth + 1
+        active = j < k                                     # [B]
+        cbs_in = cur_bias if has_bias else cur_b           # dummy when absent
+        crg_in = cur_rig if has_rig else cur_b
+        seams, cb2, cbs2, crg2 = jax.vmap(one_seam)(
+            cur_b, cbs_in, crg_in, w, s)
+
+        def upd(new, old):
+            return jnp.where(active[:, None, None], new, old)
+
+        cur_b = upd(cb2, cur_b)
+        if has_bias:
+            cur_bias = upd(cbs2, cur_bias)
+        if has_rig:
+            cur_rig = upd(crg2, cur_rig)
+        # commit in reference coords: the seam's compacted column is its
+        # rank among still-visible columns (seam_step's law)
+        visible = (vs == 0) & (lane[None] < st.ref_w[:, None, None])
+        pos = jnp.cumsum(visible.astype(jnp.int32), axis=2) - visible
+        hit = visible & (pos == seams[:, :, None])
+        vs = jnp.where(hit & active[:, None, None], s[:, None, None], vs)
+        depth = depth + active.astype(jnp.int32)
+        return (cur_b, cur_bias, cur_rig, vs, depth)
+
+    cur_b, cur_bias, cur_rig, vs, depth = jax.lax.fori_loop(
+        0, kmax, body,
+        (st.cur_b, st.cur_bias, st.cur_rig, st.vs, st.depth))
+    return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
+                       cur_rig=cur_rig, depth=depth)
 
 
 @functools.partial(jax.jit,

@@ -3,6 +3,11 @@
 Runs the Pallas kernel in interpreter mode on CPU (LQR_PALLAS_INTERPRET);
 on TPU the same kernel is the production small-image hot path
 (engine._extend_hot gates on carve_resident.resident_ok).
+
+The resident kernel records seams in REFERENCE coordinates (via its
+resident posmap plane); the scan chunk records compacted-frame
+coordinates. Equivalence is asserted where it matters: the committed
+visibility maps must be bit-equal.
 """
 
 import os
@@ -52,15 +57,24 @@ def test_resident_matches_scan_chunk(rng, has_bias, has_rig, nrg, dx):
     kc = jnp.int32(6)
     b1, bias1, rig1, hist1 = eng._hot_chunk(
         cfg, st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, jnp.int32(0), kc)
-    hist2, b2, bias2, rig2 = carve_chunk_resident(
-        st.cur_b, st.cur_bias, st.cur_rig, st.ref_w, jnp.int32(0), kc,
+    pm0 = eng._posmap_from_vs(st.vs, st.ref_w)
+    hist2, b2, bias2, rig2, pm2 = carve_chunk_resident(
+        st.cur_b, st.cur_bias, st.cur_rig, pm0, st.ref_w, jnp.int32(0), kc,
         dx, has_bias, has_rig, nrg, cfg.side_switch_freq, eng.KC)
-    assert np.array_equal(np.asarray(hist1)[:6], np.asarray(hist2)[:6])
+    # the committed visibility maps must agree bit-exactly
+    vs1 = eng._commit_hist(st.vs, st.ref_w, jnp.int32(0), kc, hist1)
+    vs2 = eng._commit_ref_hist(st.vs, jnp.int32(0), kc, hist2)
+    assert np.array_equal(np.asarray(vs1), np.asarray(vs2))
     assert np.array_equal(np.asarray(b1), np.asarray(b2))
     if has_bias:
         assert np.array_equal(np.asarray(bias1), np.asarray(bias2))
     if has_rig:
         assert np.array_equal(np.asarray(rig1), np.asarray(rig2))
+    # the returned posmap is the compacted map of the new frame
+    pm_expect = eng._posmap_from_vs(vs2, st.ref_w)
+    w_new = int(st.ref_w) - 6
+    assert np.array_equal(np.asarray(pm2)[:, :w_new],
+                          np.asarray(pm_expect)[:, :w_new])
 
 
 def test_resident_extension_depth(rng):
@@ -68,14 +82,17 @@ def test_resident_extension_depth(rng):
     cfg, st = _setup(rng, False, False, 0, 1)
     _, _, _, h1 = eng._hot_chunk(cfg, st.cur_b, st.cur_bias, st.cur_rig,
                                  st.ref_w, jnp.int32(0), jnp.int32(8))
-    h2a, b2a, _, _ = carve_chunk_resident(
-        st.cur_b, None, None, st.ref_w, jnp.int32(0), jnp.int32(4),
+    vs1 = eng._commit_hist(st.vs, st.ref_w, jnp.int32(0), jnp.int32(8), h1)
+    pm0 = eng._posmap_from_vs(st.vs, st.ref_w)
+    h2a, b2a, _, _, pm2a = carve_chunk_resident(
+        st.cur_b, None, None, pm0, st.ref_w, jnp.int32(0), jnp.int32(4),
         1, False, False, 0, 2, eng.KC)
-    h2b, b2b, _, _ = carve_chunk_resident(
-        b2a, None, None, st.ref_w - 4, jnp.int32(4), jnp.int32(4),
+    h2b, b2b, _, _, _ = carve_chunk_resident(
+        b2a, None, None, pm2a, st.ref_w - 4, jnp.int32(4), jnp.int32(4),
         1, False, False, 0, 2, eng.KC)
-    assert np.array_equal(np.asarray(h1)[:4], np.asarray(h2a)[:4])
-    assert np.array_equal(np.asarray(h1)[4:8], np.asarray(h2b)[:4])
+    vs2 = eng._commit_ref_hist(st.vs, jnp.int32(0), jnp.int32(4), h2a)
+    vs2 = eng._commit_ref_hist(vs2, jnp.int32(4), jnp.int32(4), h2b)
+    assert np.array_equal(np.asarray(vs1), np.asarray(vs2))
 
 
 def test_resident_ok_gates():

