@@ -132,8 +132,15 @@ def config2(report):
 
 
 def config3(report):
-    """2048^2 two-axis rescale with insertion to 150% width."""
+    """2048^2 two-axis rescale with insertion to 150% width.
+
+    CPU baseline + bit-exactness: the identical two-axis flow through the
+    native reference carver — width enlargement map (1024 seams on the
+    original) -> materialize at 3072 -> transpose -> height map (100) ->
+    materialize -> transpose back. The TPU output must match it byte for
+    byte (VERDICT r2 weak #4)."""
     from lqr_tpu import Carver
+    from lqr_tpu import native
 
     n = 2048
     img = make_test_image(n)
@@ -150,17 +157,33 @@ def config3(report):
     # seam ops: 1024 inserted width seams (mapped once) + 100 removed rows
     seam_ops = n // 2 + 100
     assert out.shape == (n - 100, int(n * 1.5), 3)
+
+    t0 = time.perf_counter()
+    vs_w = native.carve(img, n // 2)               # enlargement map
+    wide = native.materialize(img, vs_w, int(n * 1.5))
+    tw = np.ascontiguousarray(np.swapaxes(wide, 0, 1))
+    vs_h = native.carve(tw, 100)
+    out_cpu = np.swapaxes(native.materialize(tw, vs_h, n - 100), 0, 1)
+    cpu_dt = time.perf_counter() - t0
+    exact = bool(np.array_equal(out, out_cpu))
+
     report("cfg3_2048sq_two_axis_enlarge150", seam_ops / dt, "seam_ops/s",
-           None, wall_s=round(dt, 3))
+           cpu_dt / dt, bit_exact=exact,
+           meets_50x_target=bool(cpu_dt / dt >= 50),
+           wall_s=round(dt, 3), cpu_single_core_wall_s=round(cpu_dt, 1))
 
 
 def config4(report, n_images=4096, wave=256, seams=256):
     """Batched throughput: 1MP images, 25% width reduction (1024->768).
 
-    Reports the device carve rate (the BASELINE metric) and the end-to-end
-    wall time including host image prep + H2D staging as extra fields.
-    """
+    Reports the device carve rate (the BASELINE metric) vs the single-core
+    CPU reference rate, with bit-exactness spot-checked against the native
+    carver. Host image prep + state staging runs on a pipeline thread
+    OVERLAPPED with the previous wave's device carve (the r2 run spent
+    3.3x the carve time in serial host prep — VERDICT r2 weak #5)."""
+    from concurrent.futures import ThreadPoolExecutor
     from lqr_tpu.parallel.batch import BatchCarver
+    from lqr_tpu import native
 
     def mk_wave(seed, B):
         r = np.random.default_rng(seed)
@@ -171,27 +194,52 @@ def config4(report, n_images=4096, wave=256, seams=256):
             out.append(np.roll(base, (dy, dx), (0, 1)))
         return out
 
-    bc = BatchCarver(mk_wave(10_000, wave))        # warm compile
+    def stage(seed, B):
+        """Host prep + padding + device placement for one wave."""
+        frs = mk_wave(seed, B)
+        bc = BatchCarver(frs)
+        _sync(bc.state.depth)                     # staging complete
+        return frs, bc
+
+    _, bc = stage(10_000, wave)                   # warm compile
     bc.carve(seams)
     _sync(bc.state.depth)
+
+    # bit-exactness: one image of a wave vs the native reference
+    frs0, bc0 = stage(0, 4)
+    bc0.carve(seams)
+    vs_ref = native.carve(frs0[1], seams)
+    exact = bool(np.array_equal(
+        np.asarray(bc0.state.vs)[1, :, :1024], vs_ref))
 
     waves = max(1, n_images // wave)
     done = 0
     carve_s = 0.0
+    ex = ThreadPoolExecutor(1)
     t_all = time.perf_counter()
+    fut = ex.submit(stage, 0, wave)
     for wv in range(waves):
-        bc = BatchCarver(mk_wave(wv, wave))
-        _sync(bc.state.depth)                     # staging done
+        _, bc = fut.result()
+        if wv + 1 < waves:
+            fut = ex.submit(stage, wv + 1, wave)  # overlap next wave's prep
         t0 = time.perf_counter()
         bc.carve(seams)
         _sync(bc.state.depth)
         carve_s += time.perf_counter() - t0
         done += wave
     wall = time.perf_counter() - t_all
+    ex.shutdown()
+
+    # single-core CPU reference rate on the same per-image work
+    t_cpu = min(native.bench(frs0[1], seams) for _ in range(2))
+    cpu_rate = seams / t_cpu
+    rate = done * seams / carve_s
     report("cfg4_batched_1MP_25pct_reduction",
-           done * seams / carve_s, "img_seams/s", None,
+           rate, "img_seams/s", rate / cpu_rate,
+           bit_exact=exact, meets_50x_target=bool(rate / cpu_rate >= 50),
            images=done, images_per_s_device=round(done / carve_s, 2),
-           carve_s=round(carve_s, 1), end_to_end_wall_s=round(wall, 1))
+           carve_s=round(carve_s, 1), end_to_end_wall_s=round(wall, 1),
+           cpu_single_core_img_seams_per_s=round(cpu_rate, 1))
 
 
 def config5(report, n_frames=300):
@@ -223,8 +271,26 @@ def config5(report, n_frames=300):
     t0 = time.perf_counter()
     run(frames, seam_counts)
     dt = time.perf_counter() - t0
-    report("cfg5_gap_300frames_keyframed", n_frames / dt, "frames/s", None,
-           total_seams=int(seam_counts.sum()), wall_s=round(dt, 2))
+
+    # CPU baseline: single-core reference on a representative frame,
+    # scaled by the schedule's total seam count (seam cost is linear in
+    # count at fixed size); bit-exactness vs the native carver on the
+    # deepest frame
+    from lqr_tpu import native
+    probe = int(seam_counts[-1])                  # deepest frame
+    t_cpu = min(native.bench(frames[-1], probe) for _ in range(2))
+    cpu_total = t_cpu / probe * float(seam_counts.sum())
+    bc = BatchCarver([frames[-1]])
+    bc.state = extend_map_batched(bc.cfg, bc.state,
+                                  jnp.asarray([probe], jnp.int32))
+    vs_ref = native.carve(frames[-1], probe)
+    exact = bool(np.array_equal(np.asarray(bc.state.vs)[0, :, :w], vs_ref))
+
+    report("cfg5_gap_300frames_keyframed", n_frames / dt, "frames/s",
+           cpu_total / dt, bit_exact=exact,
+           meets_50x_target=bool(cpu_total / dt >= 50),
+           total_seams=int(seam_counts.sum()), wall_s=round(dt, 2),
+           cpu_single_core_wall_s=round(cpu_total, 1))
 
 
 def main():
