@@ -183,8 +183,8 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
     # columns of its row. posmap[y, r] = reference column of the r-th
     # visible pixel, built with one stable row sort (visible-first,
     # order-preserving) — full-size scatters/gathers cost ~10x a sort on
-    # TPU. Then one small gather reads the KC original columns and one
-    # small scatter writes the seam ids.
+    # TPU. Then one small gather reads the KC original columns and the
+    # seam ids land via _onehot_commit.
     lane = _lane(H, Wb)
     visible = (vs == 0) & (lane < ref_w)
     key = 1 - visible.astype(jnp.int32)
@@ -192,12 +192,7 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
                              is_stable=True)
 
     orig = jnp.take_along_axis(posmap, R.T, axis=1)            # [H, KC]
-    rowsK = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
-                             (H, KC))
-    iK = jnp.arange(KC, dtype=jnp.int32)[None, :]
-    cols = jnp.where(iK < kc, orig, Wb)                        # drop if >= kc
-    vals = jnp.broadcast_to(d0 + 1 + iK, (H, KC))
-    return vs.at[rowsK, cols].set(vals, mode="drop")
+    return _onehot_commit(vs, d0, kc, orig.T)
 
 
 def _posmap_from_vs(vs, ref_w):
@@ -214,17 +209,29 @@ def _posmap_from_vs(vs, ref_w):
     return posmap
 
 
+def _onehot_commit(vs, d0, kc, cols):
+    """Write seam ids d0+1+j at vs[y, cols[j, y]] for j < kc.
+
+    cols: [KC, H] i32 reference columns, one per (seam, row); rows j >= kc
+    are garbage and are masked off. XLA's scatter serializes on TPU
+    (~1.3 ms per 128-seam chunk at 512x384); every committed column is a
+    still-visible one (vs == 0 there), so the commit is a fused one-hot
+    contraction over the chunk axis plus an add — pure VPU work (~50 us).
+    """
+    H, Wb = vs.shape
+    iK = jnp.arange(KC, dtype=jnp.int32)[:, None]              # [KC, 1]
+    colsm = jnp.where(iK < kc, cols, -1)                       # [KC, H]
+    lane = jnp.arange(Wb, dtype=jnp.int32)
+    hit = colsm[:, :, None] == lane[None, None, :]             # [KC, H, Wb]
+    vals = (d0 + 1 + iK)[:, :, None]
+    upd = jnp.sum(hit * vals, axis=0, dtype=jnp.int32)         # fused reduce
+    return vs + upd
+
+
 def _commit_ref_hist(vs, d0, kc, hist):
     """Commit a chunk's REFERENCE-coordinate seam history (produced by the
-    resident kernel's posmap bookkeeping) into the visibility map: one
-    scatter, no composition."""
-    H, Wb = vs.shape
-    rowsK = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
-                             (H, KC))
-    iK = jnp.arange(KC, dtype=jnp.int32)[None, :]
-    cols = jnp.where(iK < kc, hist.T, Wb)                      # drop if >= kc
-    vals = jnp.broadcast_to(d0 + 1 + iK, (H, KC))
-    return vs.at[rowsK, cols].set(vals, mode="drop")
+    resident kernel's posmap bookkeeping) into the visibility map."""
+    return _onehot_commit(vs, d0, kc, hist)
 
 
 def _extend_hot(cfg: EngineConfig, st: MapState, k) -> MapState:

@@ -63,25 +63,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_pallas import (_fold_factor, _is_pow2, _shift_folded, _rank_consts,
+from .dp_pallas import (_shift_folded, _rank_consts,
                         _interpret, _CHUNK)
+
+
+def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
+    """(f, L, guard) fold layout for the resident kernel, or None.
+
+    Exact fold: f = Wb/128, L = 128, guard=False (DP shifts carry the
+    out-of-range +inf fill select).
+
+    A GUARD layout (f = Wb/128 + 1: an extra 128-lane fold so every live
+    column sits strictly below W = f*L and the DP shifts can drop the
+    +inf fill select — wraps then only land at x >= w where M = +inf via
+    the energy width mask) was tried and ABANDONED: the odd fold factors
+    it produces (e.g. f=5 at Wb=512) hit a Mosaic compile pathology
+    (>570 s, never completed on v5e), and the projected win was marginal
+    anyway (the select removal on the two chain shifts is offset by +1/f
+    growth of every batched stack op). The guard plumbing (pad/unpad,
+    edge=not guard) is kept so the experiment is one line to re-run.
+    """
+    if Wb % 128 != 0 or H % _CHUNK != 0:
+        return None
+    planes = 2 + int(has_bias) + int(has_rig)   # reader + posmap (+aux)
+    f = Wb // 128
+    if f < 1:
+        return None
+    # planes (4B) + backpointers (1B) + double-buffered record plane
+    vmem = H * f * 128 * (4 * planes + 1) + 2 * H * 128 * 4
+    if vmem > (14 << 20):                        # 16 MB/core - pipeline
+        return None
+    return f, 128, False
 
 
 def resident_ok(H: int, Wb: int, has_bias: bool, has_rig: bool,
                 nrg: int = 0) -> bool:
-    """Whether the resident kernel applies: folded rows with pow-2 lane
-    groups, CH-divisible height, and all planes + backpointers within a
-    ~14 MB VMEM budget (16 MB/core minus pipeline buffers)."""
-    f = _fold_factor(Wb)
-    if f <= 1 or not _is_pow2(Wb // f):
-        return False
-    if H % _CHUNK != 0:
-        return False
-    planes = 2 + int(has_bias) + int(has_rig)   # reader + posmap (+aux)
-    L = Wb // f
-    # planes (4B) + backpointers (1B) + double-buffered record plane
-    vmem = H * Wb * (4 * planes + 1) + 2 * H * L * 4
-    return vmem <= (14 << 20)
+    """Whether the resident kernel applies: CH-divisible 128-multiple
+    geometry within a ~14 MB VMEM budget (see _layout)."""
+    return _layout(H, Wb, has_bias, has_rig) is not None
 
 
 def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
@@ -104,18 +123,16 @@ def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
     Rf = M.shape[0]
     W = f * L
     if d > 0:
-        a = pltpu.roll(M, (-d) % L, axis=1)
         ms = pltpu.roll(M, Rf - 1, axis=0)          # global M[s+1]
-        b = pltpu.roll(ms, (-d) % L, axis=1)
-        out = jnp.where(lane >= L - d, b, a)
+        pre = jnp.where(lane < d, ms, M)            # select-before-roll
+        out = pltpu.roll(pre, (-d) % L, axis=1)
         if not edge:
             return out
         return jnp.where(glane_row >= W - d, fill, out)
     dd = -d
-    a = pltpu.roll(M, dd, axis=1)
     ms = pltpu.roll(M, 1 % Rf, axis=0)              # global M[s-1]
-    b = pltpu.roll(ms, dd, axis=1)
-    out = jnp.where(lane < dd, b, a)
+    pre = jnp.where(lane >= L - dd, ms, M)
+    out = pltpu.roll(pre, dd, axis=1)
     if not edge:
         return out
     return jnp.where(glane_row < dd, fill, out)
@@ -129,9 +146,14 @@ def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,
     edge rows replicated (unused for the row-local nrg families)."""
     if nrg == 6:                                        # NULL
         return jnp.zeros(bst.shape, jnp.float32)
-    br = _shift_stack(bst, 1, jnp.float32(0), f, L, lane, glane_row)
+    # edge=False: the out-of-range positions (glane >= W-1 / glane == 0)
+    # are inside the replicate selects' regions (w <= W), so the fill
+    # select would be overwritten anyway
+    br = _shift_stack(bst, 1, jnp.float32(0), f, L, lane, glane_row,
+                      edge=False)
     br = jnp.where(glane_row >= w - 1, bst, br)         # replicate right edge
-    bl = _shift_stack(bst, -1, jnp.float32(0), f, L, lane, glane_row)
+    bl = _shift_stack(bst, -1, jnp.float32(0), f, L, lane, glane_row,
+                      edge=False)
     bl = jnp.where(glane_row == 0, bst, bl)             # replicate left edge
     gx = (br - bl) * jnp.float32(0.5)
     if nrg in (0, 3):                                   # *_XABS
@@ -142,7 +164,8 @@ def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,
     return jnp.sqrt(gx * gx + gy * gy)                  # *_NORM
 
 
-def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
+def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
+            guard):
     """Grid-stepped multi-seam kernel: grid = (KC,), one seam per step.
 
     A gridless variant (single invocation, dynamic fori over seams,
@@ -179,6 +202,9 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
     CH = _CHUNK
     NC = H // CH
     fwd_only = bool(os.environ.get("LQR_RESIDENT_FWD_ONLY"))
+    # perf-decomposition knobs (WRONG RESULTS — profiling only)
+    no_bp = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
+    no_energy = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
 
     # loop-constant index maps: per-row geometry for single rows (f, L)
     # and for CH-row stacks (CH*f, L)
@@ -199,38 +225,16 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
                 cp.start()
                 cp.wait()
 
-    def dp_row(M_prev, e_row, rig_terms, pref_left, first: bool):
-        """One DP row at (f, L). The value chain is a plain min tree (ties
-        don't affect values); backpointers come from rank-ordered first
-        equality against the min — the same choices as a take-chain, OFF
-        the M[y-1] -> M[y] dependency chain. first=True (static): global
-        row 0, no predecessor."""
-        if first:
-            return e_row, jnp.zeros((f, L), jnp.int32)
-        shifted = {}
-        best = None
-        for dx, _, _, _ in cands:
-            c = _shift_folded(M_prev, dx, inf, f, L)
-            if rig_terms is not None and dx != 0:
-                c = c + rig_terms[dx]
-            shifted[dx] = c
-            best = c if best is None else jnp.minimum(best, c)
-        eqs = {dx: shifted[dx] == best for dx, _, _, _ in cands}
-
-        def nested(order):
-            bp = jnp.full((f, L), jnp.int32(order[-1][0]))
-            for dx, _, _, _ in reversed(order[:-1]):
-                bp = jnp.where(eqs[dx], jnp.int32(dx), bp)
-            return bp
-        bp = jnp.where(pref_left, nested(by_left), nested(by_right))
-        return e_row + best, bp
-
     def fwd_chunk(base_v, M_in, prev_last, w, pref_left,
                   first_chunk: bool):
         """Forward-process CH rows starting at vector row base_v (= row
         index * f): energy batched at (CH*f, L) full-vreg occupancy, then
-        the sequential DP chain row by row. Returns (M_last, last plane
-        row of the chunk)."""
+        the sequential DP VALUE chain row by row (plain min tree + add —
+        the irreducible per-row ops), then the backpointers derived
+        BATCHED per chunk from the stored M rows: rank-ordered first
+        equality against the recomputed min reproduces a take-chain's
+        tie-breaks exactly, at 1/CH the issue cost of in-loop
+        derivation. Returns (M_last, last plane row of the chunk)."""
         bst = b_scr[pl.ds(base_v, CH * f)]
         if nrg in (1, 2, 4, 5):            # gy-dependent energies
             b_up = jnp.concatenate([prev_last, bst[:-f]], axis=0)
@@ -239,7 +243,11 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
             b_dn = jnp.concatenate([bst[f:], nxt], axis=0)
         else:
             b_up = b_dn = None
-        e = _energy_stack(bst, b_up, b_dn, w, nrg, f, L, laneS, glaneS)
+        if no_energy:                      # profiling knob: skip stencil
+            e = bst
+        else:
+            e = _energy_stack(bst, b_up, b_dn, w, nrg, f, L, laneS,
+                              glaneS)
         if has_bias:
             e = e + bias_scr[pl.ds(base_v, CH * f)]
         e_tot = jnp.where(glaneS < w, e, inf)
@@ -248,20 +256,53 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
         else:
             rig_st = None
 
+        # Per-row DP: value chain + backpointers. Batching the bp
+        # derivation per chunk at (CH*f, L) was measured SLOWER (+2.4
+        # us/seam at 512x384: the cross-vreg sublane rolls of the stacked
+        # shifts cost more than the per-row selects they replace); kept
+        # per-row. Tie-breaks: first-equality against the min in rank
+        # order — identical choices to a take-chain.
         M_prev = M_in
         bps = []
         for j in range(CH):
             e_row = jax.lax.slice_in_dim(e_tot, j * f, (j + 1) * f, axis=0)
-            if has_rig:
-                rr = jax.lax.slice_in_dim(rig_st, j * f, (j + 1) * f,
-                                          axis=0)
-                rig_terms = {dx: rr * rigc
-                             for dx, _, _, rigc in cands if dx != 0}
+            if first_chunk and j == 0:     # global row 0: no predecessor
+                M_row = e_row
+                bps.append(jnp.zeros((f, L), jnp.int32))
             else:
-                rig_terms = None
-            M_row, bp = dp_row(M_prev, e_row, rig_terms, pref_left,
-                               first=(first_chunk and j == 0))
-            bps.append(bp)
+                if has_rig:
+                    rr = jax.lax.slice_in_dim(rig_st, j * f, (j + 1) * f,
+                                              axis=0)
+                shifted = {}
+                best = None
+                for dx, _, _, rigc in cands:
+                    # guard fold: edge fill unneeded — wraps only
+                    # land at x >= w where M = +inf via the energy mask
+                    # (and M rows carry +inf at x >= w, so d < 0 wraps
+                    # read +inf, the correct fill)
+                    c = _shift_folded(M_prev, dx, inf, f, L,
+                                      edge=not guard)
+                    if has_rig and dx != 0:
+                        c = c + rr * rigc
+                    shifted[dx] = c
+                    best = c if best is None else jnp.minimum(best, c)
+                if no_bp:                  # profiling knob: value chain
+                    # garbage bp DERIVED from best so the value chain
+                    # stays live under DCE
+                    bp = best.astype(jnp.int32)
+                else:
+                    eqs = {dx: shifted[dx] == best
+                           for dx, _, _, _ in cands}
+
+                    def nested(order):
+                        bp = jnp.full((f, L), jnp.int32(order[-1][0]))
+                        for dx, _, _, _ in reversed(order[:-1]):
+                            bp = jnp.where(eqs[dx], jnp.int32(dx), bp)
+                        return bp
+                    bp = jnp.where(pref_left, nested(by_left),
+                                   nested(by_right))
+                M_row = e_row + best
+                bps.append(bp)
             M_prev = M_row
         bp_scr[pl.ds(base_v, CH * f)] = \
             jnp.concatenate(bps, axis=0).astype(jnp.int8)
@@ -314,46 +355,42 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
         # the scan-path contract (zeros there) is restored by one batched
         # zeroing pass at the end of the kernel instead of a select per
         # row per plane per seam.
-        def compact(a_row, ge_b, fill):
-            return jnp.where(ge_b,
-                             _shift_folded(a_row, 1, fill, f, L,
-                                           edge=False), a_row)
-
         def bwd_chunk(k, carry):
             oh, ge = carry
             base = pl.multiple_of(H - (k + 1) * CH, CH)
             base_v = pl.multiple_of(base * f, CH * f)
             bp_ch = bp_scr[pl.ds(base_v, CH * f)].astype(jnp.int32)
-            b_ch = b_scr[pl.ds(base_v, CH * f)]
             pm_ch = pm_scr[pl.ds(base_v, CH * f)]
             pm1_ch = pm_ch + 1                     # batched once per chunk
-            bias_ch = (bias_scr[pl.ds(base_v, CH * f)] if has_bias
-                       else None)
-            rig_ch = rig_scr[pl.ds(base_v, CH * f)] if has_rig else None
 
             def row_of(st, j):
                 return jax.lax.slice_in_dim(st, j * f, (j + 1) * f, axis=0)
 
             recs = [None] * CH
-            bos = [None] * CH
-            pmos = [None] * CH
-            biasos = [None] * CH
-            rigos = [None] * CH
+            ges = [None] * CH
             for j in range(CH - 1, -1, -1):
                 # record: fold-reduce the one-hot against the posmap to a
                 # [1, L] row whose single nonzero is (ref column + 1)
                 recs[j] = jnp.sum(oh * row_of(pm1_ch, j), axis=0,
                                   keepdims=True)
-                ge_b = ge != 0
-                bos[j] = compact(row_of(b_ch, j), ge_b, jnp.float32(0))
-                pmos[j] = compact(row_of(pm_ch, j), ge_b, jnp.int32(0))
-                if has_bias:
-                    biasos[j] = compact(row_of(bias_ch, j), ge_b,
-                                        jnp.float32(0))
-                if has_rig:
-                    rigos[j] = compact(row_of(rig_ch, j), ge_b,
-                                       jnp.float32(0))
+                ges[j] = ge                        # ge mask of row j
                 bp_row = row_of(bp_ch, j)
+                if delta_x == 1:
+                    # specialized chase: ge is 0/1 and the seam moves by
+                    # at most one column, so the update is arithmetic —
+                    # ge' = ge - (onehot at s if moved right)
+                    #          + (onehot at s-1 if moved left) —
+                    # reusing the two shift terms of the one-hot walk
+                    z = oh * (bp_row == 0).astype(jnp.int32)
+                    mn = oh * (bp_row == -1).astype(jnp.int32)
+                    mp = oh * (bp_row == 1).astype(jnp.int32)
+                    shl_mn = _shift_folded(mn, 1, jnp.int32(0), f, L,
+                                           edge=False)
+                    shr_mp = _shift_folded(mp, -1, jnp.int32(0), f, L,
+                                           edge=False)
+                    ge = ge - mp + shl_mn
+                    oh = z + shl_mn + shr_mp
+                    continue
                 nxt = oh * (bp_row == 0).astype(jnp.int32)
                 m_pos = []
                 for d in range(1, delta_x + 1):
@@ -386,14 +423,25 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L):
 
             seam_ref[0, pl.ds(base, CH), :] = \
                 jnp.concatenate(recs, axis=0)
-            b_scr[pl.ds(base_v, CH * f)] = jnp.concatenate(bos, axis=0)
-            pm_scr[pl.ds(base_v, CH * f)] = jnp.concatenate(pmos, axis=0)
+
+            # compaction batched per chunk from the collected ge rows —
+            # one (CH*f, L) shift+select per plane instead of one per row
+            # per plane (values at x >= current width are garbage either
+            # way; the final-grid-step zeroing pass restores the contract)
+            ge_st = jnp.concatenate(ges, axis=0) != 0
+            sl = pl.ds(base_v, CH * f)
+
+            def compact_st(a_st, fill):
+                return jnp.where(
+                    ge_st, _shift_stack(a_st, 1, fill, f, L, laneS,
+                                        glaneS, edge=False), a_st)
+
+            b_scr[sl] = compact_st(b_scr[sl], jnp.float32(0))
+            pm_scr[sl] = compact_st(pm_ch, jnp.int32(0))
             if has_bias:
-                bias_scr[pl.ds(base_v, CH * f)] = \
-                    jnp.concatenate(biasos, axis=0)
+                bias_scr[sl] = compact_st(bias_scr[sl], jnp.float32(0))
             if has_rig:
-                rig_scr[pl.ds(base_v, CH * f)] = \
-                    jnp.concatenate(rigos, axis=0)
+                rig_scr[sl] = compact_st(rig_scr[sl], jnp.float32(0))
             return (oh, ge)
 
         jax.lax.fori_loop(0, NC, bwd_chunk, (oh0, ge0))
@@ -447,8 +495,18 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     resident_ok.
     """
     H, Wb = cur_b.shape
-    f = _fold_factor(Wb)
-    L = Wb // f
+    f, L, guard = _layout(H, Wb, has_bias, has_rig)
+    pad = f * L - Wb
+    if pad:
+        def pz(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((H, pad), a.dtype)], axis=1)
+
+        cur_b, posmap = pz(cur_b), pz(posmap)
+        if has_bias:
+            cur_bias = pz(cur_bias)
+        if has_rig:
+            cur_rig = pz(cur_rig)
     sc = jnp.stack([jnp.asarray(w0, jnp.int32), jnp.asarray(d0, jnp.int32),
                     jnp.asarray(kc, jnp.int32)]).reshape(1, 3)
 
@@ -487,7 +545,7 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     outs = pl.pallas_call(
         functools.partial(_kernel, KC=KC, delta_x=delta_x,
                           has_bias=has_bias, has_rig=has_rig, nrg=nrg,
-                          ssf=ssf, H=H, f=f, L=L),
+                          ssf=ssf, H=H, f=f, L=L, guard=guard),
         grid=(KC,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -499,15 +557,19 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
 
     # seam rows were recorded fold-reduced: one nonzero = ref column + 1
     hist = jnp.sum(outs[0], axis=2, dtype=jnp.int32) - 1
-    b_out = outs[1].reshape(H, Wb)
+
+    def unpad(o):
+        return o.reshape(H, f * L)[:, :Wb]
+
+    b_out = unpad(outs[1])
     k = 2
     bias_out = cur_bias
     rig_out = cur_rig
     if has_bias:
-        bias_out = outs[k].reshape(H, Wb)
+        bias_out = unpad(outs[k])
         k += 1
     if has_rig:
-        rig_out = outs[k].reshape(H, Wb)
+        rig_out = unpad(outs[k])
         k += 1
-    pm_out = outs[k].reshape(H, Wb)
+    pm_out = unpad(outs[k])
     return hist, b_out, bias_out, rig_out, pm_out

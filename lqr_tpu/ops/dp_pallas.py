@@ -246,6 +246,11 @@ def _fold_factor(Wb: int) -> int:
 def _shift_folded(M, d: int, fill, f: int, L: int, edge: bool = True):
     """shifted[x] = M[x + d] on a folded row [f, L]; out-of-range -> fill.
 
+    Select-before-roll: the fold-crossing merge is done in PRE-roll lane
+    coordinates (the lanes that will wrap pick the sublane-rolled copy),
+    then ONE lane roll finishes the shift — 3 vector ops per shift
+    instead of the naive 4 (roll, roll-sublane, roll, select).
+
     edge=False skips the out-of-range fill select — for callers that can
     prove the edge region is never read or never populated (e.g. one-hot
     seam walks whose position provably stays in range: a spurious wrapped
@@ -258,18 +263,16 @@ def _shift_folded(M, d: int, fill, f: int, L: int, edge: bool = True):
     glane = sub * L + lane
     W = f * L
     if d > 0:
-        a = pltpu.roll(M, (-d) % L, axis=1)
         ms = pltpu.roll(M, (f - 1) % f if f > 1 else 0, axis=0)  # M[s+1]
-        b = pltpu.roll(ms, (-d) % L, axis=1)
-        out = jnp.where(lane >= L - d, b, a)
+        pre = jnp.where(lane < d, ms, M)        # lanes that will wrap
+        out = pltpu.roll(pre, (-d) % L, axis=1)
         if not edge:
             return out
         return jnp.where(glane >= W - d, fill, out)
     dd = -d
-    a = pltpu.roll(M, dd, axis=1)
     ms = pltpu.roll(M, 1 % f if f > 1 else 0, axis=0)            # M[s-1]
-    b = pltpu.roll(ms, dd, axis=1)
-    out = jnp.where(lane < dd, b, a)
+    pre = jnp.where(lane >= L - dd, ms, M)
+    out = pltpu.roll(pre, dd, axis=1)
     if not edge:
         return out
     return jnp.where(glane < dd, fill, out)
