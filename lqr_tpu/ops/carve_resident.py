@@ -13,22 +13,22 @@ up to KC seams in ONE ``pallas_call``:
 - per seam: a forward sweep (energy + row DP) and a backward sweep
   (seam chase + record + in-place compaction).
 
-Issue-rate design (the v5e bottleneck at small widths is per-op issue
-cost, not bandwidth — a (f=4, L=128) row op costs the same slot as a full
-(8, 128) vreg): every row-PARALLEL computation is batched over a CH-row
-chunk as one (CH*f, L) op stack (full vreg utilization), leaving only the
-two irreducible sequential chains at (f, L):
+Latency-vs-issue design (v5e, measured round 3): the two sequential
+sweeps are LATENCY-bound on their per-row dependency chains, not
+issue-bound — adding the whole backpointer select tree to the row loop
+costs ~nothing (it hides in the chain's stalls), while a chained
+cross-lane ROLL costs ~50-70 ns and a chained min/add ~2.5 ns. The two
+irreducible chains at (f, L):
 
-  forward  — the M[y-1] -> M[y] min chain (plain min tree; no tie-rank
-             bookkeeping on the chain: backpointers are derived OFF-chain,
-             batched per chunk, by rank-ordered equality against the min,
-             which reproduces a take-chain's tie-breaks exactly);
+  forward  — the M[y-1] -> M[y] min chain. With delta_x == 1 and no
+             rigmask it runs as the roll-free WEDGE (see wedge_rows):
+             all shifted copies of M ride along so the chain is
+             min,min,add only; otherwise the per-row shifted min tree.
   backward — the one-hot seam chase x[y-1] = x[y] + bp[y, x[y]].
 
-Batched per chunk: the energy stencil (+bias), the rigidity premultiplies,
-the backpointer derivation (shifts/equalities/rank selects), the seam-
-record rows, and the compaction of every plane (using the ge rows the
-chase emits).
+Batched per chunk: the energy stencil (+bias), the rigidity
+premultiplies, the seam-record rows, and the compaction of every plane
+(from the ge rows the chase emits).
 
 The resident ``posmap`` plane (the compacted-column -> reference-column
 map, liblqr's vmap bookkeeping analog, /root/reference/src/
@@ -205,6 +205,11 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
     # perf-decomposition knobs (WRONG RESULTS — profiling only)
     no_bp = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
     no_energy = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
+    # wedge fwd sweep (see wedge_rows; default ON where it applies —
+    # measured 34.4 -> 15.7 us/seam fwd at 512x384); KW rows per block
+    KW = int(os.environ.get("LQR_WEDGE_K", "4"))
+    use_wedge = (bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
+                 and delta_x == 1 and not has_rig and CH % KW == 0)
 
     # loop-constant index maps: per-row geometry for single rows (f, L)
     # and for CH-row stacks (CH*f, L)
@@ -224,6 +229,65 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 cp = pltpu.make_async_copy(src, dst, sem)
                 cp.start()
                 cp.wait()
+
+    def wedge_rows(e_tot, M_in, pref_left, first_chunk: bool):
+        """CH rows of DP via KW-row WEDGES — the roll-free chain.
+
+        Measured on v5e: a chained cross-lane roll costs ~50-70 ns of
+        latency while a chained min/add costs ~2.5 ns, and the row loop
+        is latency-bound. So instead of shifting M by +-1 every row
+        (rolls on the chain), maintain ALL shifted copies
+        S_d = shift_d(M) for the block: the per-row update
+          S'_d = shift_d(e) + min(S_{d-1}, S_d, S_{d+1})
+        has only min,min,add on the dependency chain; every roll touches
+        e (off-chain) or the once-per-block boundary rebuild. Bit-exact:
+        shift_d distributes elementwise over min and +, so S_d stays
+        bitwise equal to shift_d of the sequential row, and the center
+        states feed the same backpointer eqs as the per-row path.
+        The band shrinks by 1 per row (only |d| <= KW-1-j matter), so a
+        KW-block costs KW^2-ish extra e-shift issue — cheap vs the
+        removed roll latency. Requires delta_x == 1, no rigmask."""
+        bps = []
+        M_prev = M_in
+        nblk = CH // KW
+        for blk in range(nblk):
+            first_blk = first_chunk and blk == 0
+            if not first_blk:
+                P = {d: _shift_folded(M_prev, d, inf, f, L)
+                     for d in range(-KW, KW + 1)}
+            for jj in range(KW):
+                j = blk * KW + jj
+                e_row = jax.lax.slice_in_dim(e_tot, j * f, (j + 1) * f,
+                                             axis=0)
+                band = KW - 1 - jj
+                if first_blk and jj == 0:  # global row 0: M_0 = e_0
+                    P = {d: _shift_folded(e_row, d, inf, f, L)
+                         for d in range(-band, band + 1)}
+                    bps.append(jnp.zeros((f, L), jnp.int32))
+                    continue
+                newP = {}
+                cm, c0, cp = P[-1], P[0], P[1]
+                best = jnp.minimum(jnp.minimum(c0, cm), cp)
+                eq0 = c0 == best
+                eqm = cm == best
+                eqp = cp == best
+                bp = jnp.where(
+                    eq0, jnp.int32(0),
+                    jnp.where(pref_left,
+                              jnp.where(eqm, jnp.int32(-1), jnp.int32(1)),
+                              jnp.where(eqp, jnp.int32(1),
+                                        jnp.int32(-1))))
+                bps.append(bp)
+                newP[0] = e_row + best
+                for d in range(-band, band + 1):
+                    if d == 0:
+                        continue
+                    e_sh = _shift_folded(e_row, d, inf, f, L)
+                    newP[d] = e_sh + jnp.minimum(
+                        jnp.minimum(P[d], P[d - 1]), P[d + 1])
+                P = newP
+            M_prev = P[0]
+        return M_prev, bps
 
     def fwd_chunk(base_v, M_in, prev_last, w, pref_left,
                   first_chunk: bool):
@@ -256,13 +320,34 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
         else:
             rig_st = None
 
-        # Per-row DP: value chain + backpointers. Batching the bp
-        # derivation per chunk at (CH*f, L) was measured SLOWER (+2.4
-        # us/seam at 512x384: the cross-vreg sublane rolls of the stacked
-        # shifts cost more than the per-row selects they replace); kept
-        # per-row. Tie-breaks: first-equality against the min in rank
-        # order — identical choices to a take-chain.
+        # Per-row DP: value chain + backpointers.
+        #
+        # The sweep is LATENCY-bound, not issue-bound (measured: adding
+        # the full bp select tree to the loop costs ~nothing — it hides
+        # in the value chain's stalls; batching the bp derivation per
+        # chunk was even SLOWER, +2.4 us/seam). So the optimization
+        # target is the DEPENDENT-op depth per row. The +-1 shifted
+        # candidates are built from PRE-ROTATED, PRE-EDGE-MASKED copies
+        # of M (Mu = M[s+1] view with +inf planted at the out-of-range
+        # wrap slot, Md = M[s-1] view likewise) that are computed OFF
+        # the chain in the previous row's stall shadow. Chain per row:
+        # pre-select(1) -> lane-roll(2) -> min(3) -> min(4) -> +e(5),
+        # vs 7 for the naive shift (sub-roll, select, roll, edge-fill
+        # before the mins even start).
+        if use_wedge:
+            M_prev, bps = wedge_rows(e_tot, M_in, pref_left, first_chunk)
+            bp_scr[pl.ds(base_v, CH * f)] = \
+                jnp.concatenate(bps, axis=0).astype(jnp.int8)
+            return M_prev, bst[(CH - 1) * f:]
+
         M_prev = M_in
+        # rotated+masked views of M_in (off-chain for the first row)
+        up_m = (sub == f - 1) & (lane < delta_x)      # wrap slots, d > 0
+        dn_m = (sub == 0) & (lane >= L - delta_x)     # wrap slots, d < 0
+        Mu_prev = jnp.where(up_m, inf,
+                            pltpu.roll(M_in, (f - 1) % f, axis=0))
+        Md_prev = jnp.where(dn_m, inf,
+                            pltpu.roll(M_in, 1 % f, axis=0))
         bps = []
         for j in range(CH):
             e_row = jax.lax.slice_in_dim(e_tot, j * f, (j + 1) * f, axis=0)
@@ -276,12 +361,14 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 shifted = {}
                 best = None
                 for dx, _, _, rigc in cands:
-                    # guard fold: edge fill unneeded — wraps only
-                    # land at x >= w where M = +inf via the energy mask
-                    # (and M rows carry +inf at x >= w, so d < 0 wraps
-                    # read +inf, the correct fill)
-                    c = _shift_folded(M_prev, dx, inf, f, L,
-                                      edge=not guard)
+                    if dx == 0:
+                        c = M_prev
+                    elif dx > 0:
+                        pre = jnp.where(lane < dx, Mu_prev, M_prev)
+                        c = pltpu.roll(pre, (-dx) % L, axis=1)
+                    else:
+                        pre = jnp.where(lane >= L + dx, Md_prev, M_prev)
+                        c = pltpu.roll(pre, -dx, axis=1)
                     if has_rig and dx != 0:
                         c = c + rr * rigc
                     shifted[dx] = c
@@ -293,17 +380,35 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 else:
                     eqs = {dx: shifted[dx] == best
                            for dx, _, _, _ in cands}
-
-                    def nested(order):
-                        bp = jnp.full((f, L), jnp.int32(order[-1][0]))
-                        for dx, _, _, _ in reversed(order[:-1]):
-                            bp = jnp.where(eqs[dx], jnp.int32(dx), bp)
-                        return bp
-                    bp = jnp.where(pref_left, nested(by_left),
-                                   nested(by_right))
+                    if delta_x == 1:
+                        # shared-eq0 form of the same rank chains:
+                        # by_left = [0,-1,+1], by_right = [0,+1,-1]
+                        bp = jnp.where(
+                            eqs[0], jnp.int32(0),
+                            jnp.where(pref_left,
+                                      jnp.where(eqs[-1], jnp.int32(-1),
+                                                jnp.int32(1)),
+                                      jnp.where(eqs[1], jnp.int32(1),
+                                                jnp.int32(-1))))
+                    else:
+                        def nested(order):
+                            bp = jnp.full((f, L),
+                                          jnp.int32(order[-1][0]))
+                            for dx, _, _, _ in reversed(order[:-1]):
+                                bp = jnp.where(eqs[dx], jnp.int32(dx),
+                                               bp)
+                            return bp
+                        bp = jnp.where(pref_left, nested(by_left),
+                                       nested(by_right))
                 M_row = e_row + best
                 bps.append(bp)
             M_prev = M_row
+            if j < CH - 1:                 # off-chain: next row's views
+                Mu_prev = jnp.where(up_m, inf,
+                                    pltpu.roll(M_row, (f - 1) % f,
+                                               axis=0))
+                Md_prev = jnp.where(dn_m, inf,
+                                    pltpu.roll(M_row, 1 % f, axis=0))
         bp_scr[pl.ds(base_v, CH * f)] = \
             jnp.concatenate(bps, axis=0).astype(jnp.int8)
         return M_prev, bst[(CH - 1) * f:]
