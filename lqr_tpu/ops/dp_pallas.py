@@ -342,7 +342,62 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
         bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
         return M_prev
 
-    M_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, frontier[:, :])
+    # roll-free WEDGE chunk (see ops.carve_resident.wedge_rows — same
+    # transformation, dynamic first-row guard): maintain all shifted
+    # copies S_d = shift_d(M) so the per-row dependency chain carries
+    # only min,min,add (a chained cross-lane roll costs ~50-70 ns on
+    # v5e vs ~2.5 ns for min/add, and the sweep is latency-bound).
+    # Exact: shift_d distributes elementwise over min and +.
+    KW = 4
+
+    def chunk_fn_wedge(k, M_prev):
+        base = k * CH
+        e_chunk = e_ref[pl.ds(base, CH)]
+        first = (i == 0) & (k == 0)
+        bps = []
+        for blk in range(CH // KW):
+            P = {d: _shift_folded(M_prev, d, inf, f, L)
+                 for d in range(-KW, KW + 1)}
+            for jj in range(KW):
+                j = blk * KW + jj
+                e_row = e_chunk[j]
+                band = KW - 1 - jj
+                cm, c0, cp = P[-1], P[0], P[1]
+                best = jnp.minimum(jnp.minimum(c0, cm), cp)
+                eq0 = c0 == best
+                eqm = cm == best
+                eqp = cp == best
+                bp = jnp.where(
+                    eq0, jnp.int32(0),
+                    jnp.where(pref_left,
+                              jnp.where(eqm, jnp.int32(-1),
+                                        jnp.int32(1)),
+                              jnp.where(eqp, jnp.int32(1),
+                                        jnp.int32(-1))))
+                row0 = blk == 0 and jj == 0          # static position
+                if row0:                             # dynamic image row 0
+                    bp = jnp.where(first, jnp.int32(0), bp)
+                newP = {0: e_row + (jnp.where(first, jnp.float32(0), best)
+                                    if row0 else best)}
+                for d in range(-band, band + 1):
+                    if d == 0:
+                        continue
+                    e_sh = _shift_folded(e_row, d, inf, f, L)
+                    m3 = jnp.minimum(jnp.minimum(P[d], P[d - 1]),
+                                     P[d + 1])
+                    if row0:
+                        m3 = jnp.where(first, jnp.float32(0), m3)
+                    newP[d] = e_sh + m3
+                P = newP
+                bps.append(bp)
+            M_prev = P[0]
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
+        return M_prev
+
+    use_wedge = (delta_x == 1 and not has_rig and CH % KW == 0
+                 and os.environ.get("LQR_FWD_WEDGE", "1") != "0")
+    body = chunk_fn_wedge if use_wedge else chunk_fn
+    M_final = jax.lax.fori_loop(0, BR // CH, body, frontier[:, :])
     frontier[:, :] = M_final
 
     @pl.when(i == n - 1)
