@@ -50,15 +50,36 @@ _HBM_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0, "tpu v4": 1228.0,
 _DEFAULT_HBM = 819.0
 
 
+# Measured v5e chain constants (round-3 calibration, scripts/devtime.py
+# + synthetic chain kernels): a CHAINED cross-lane roll costs ~55 ns of
+# latency, a chained min/add/select ~2.5 ns, and the per-seam sweeps are
+# latency-bound on their per-row dependency chains — NOT HBM-bound (the
+# planes are VMEM-resident at small sizes) and NOT issue-bound (adding
+# the whole backpointer select tree to the row loop measures ~free).
+_TAU_CHEAP_NS = 2.5      # chained elementwise op latency
+_TAU_ROLL_NS = 55.0      # chained cross-lane roll latency
+_FWD_CHAIN_DEPS = 3      # wedge fwd: min, min, +e per row (no rolls)
+_BWD_CHAIN_CHEAP = 5     # chase: eq-mul, select, 2 adds... per row
+_BWD_ROLLS = 1           # chase: one roll-level per row (one-hot shift)
+
+
 @dataclasses.dataclass
 class Roofline:
     hbm_bytes: int          # HBM traffic of one seam step
     seq_rows: int           # rows on the sequential DP critical path
     sol_seams_per_s: float  # speed-of-light bound from HBM alone
     breakdown: dict
+    chain_floor_seams_per_s: float = 0.0  # dependency-chain latency bound
 
     def efficiency(self, measured_seams_per_s: float) -> float:
         return measured_seams_per_s / self.sol_seams_per_s
+
+    @property
+    def bound(self) -> str:
+        """Which limit binds: the sequential dependency chains or HBM."""
+        return ("chain-latency"
+                if self.chain_floor_seams_per_s < self.sol_seams_per_s
+                else "hbm")
 
 
 def seam_roofline(H: int, W: int, has_bias: bool = False,
@@ -90,8 +111,16 @@ def seam_roofline(H: int, W: int, has_bias: bool = False,
         "commit_amortized": plane // 4,
     }
     total = sum(b.values())
+    # dependency-chain floor: the forward sweep's per-row chain (wedge:
+    # min,min,+e) plus the backward chase's (one roll-level + cheap ops),
+    # H rows each, serialized. This is the binding limit at VMEM-resident
+    # sizes; HBM only binds once the planes spill (H*W >~ 1.5M px).
+    chain_ns = H * (_FWD_CHAIN_DEPS * _TAU_CHEAP_NS
+                    + _BWD_ROLLS * _TAU_ROLL_NS
+                    + _BWD_CHAIN_CHEAP * _TAU_CHEAP_NS)
     return Roofline(hbm_bytes=total, seq_rows=H,
-                    sol_seams_per_s=hbm_gbps * 1e9 / total, breakdown=b)
+                    sol_seams_per_s=hbm_gbps * 1e9 / total, breakdown=b,
+                    chain_floor_seams_per_s=1e9 / chain_ns)
 
 
 class Stopwatch:

@@ -89,9 +89,12 @@ def config1(report):
 
     sps = _slope_rate(cfg, make_st, extend_map)
     cpu = max(seams / native.bench(img, seams) for _ in range(2))
+    rf = seam_roofline(h, w)
     report("cfg1_512x384_default_100seams", sps, "seams/s", sps / cpu,
            bit_exact=exact, meets_50x_target=bool(sps / cpu >= 50),
-           roofline_frac=round(sps / seam_roofline(h, w).sol_seams_per_s, 3))
+           roofline_frac=round(sps / rf.sol_seams_per_s, 3),
+           bound=rf.bound,
+           chain_floor_frac=round(sps / rf.chain_floor_seams_per_s, 3))
 
 
 def config2(report):
@@ -131,11 +134,13 @@ def config2(report):
 
     sps = _slope_rate(cfg, make_st, extend_map)
     cpu = max(12 / native.bench(img, 12) for _ in range(2))
+    rf = seam_roofline(h, w, True, True)
     report("cfg2_1024x768_masks_rigidity_100seams", sps, "seams/s",
            sps / cpu, bit_exact=exact,
            meets_50x_target=bool(sps / cpu >= 50),
-           roofline_frac=round(
-               sps / seam_roofline(h, w, True, True).sol_seams_per_s, 3))
+           roofline_frac=round(sps / rf.sol_seams_per_s, 3),
+           bound=rf.bound,
+           chain_floor_frac=round(sps / rf.chain_floor_seams_per_s, 3))
 
 
 def config3(report):
