@@ -311,39 +311,62 @@ def materialize_array(arr, vs, ref_w, w, out_Wb: int):
     arr: [H, Wb] or [H, Wb, C]; vs: [H, Wb] i32; ref_w, w traced.
     Returns [H, out_Wb(,C)] with lanes >= w zeroed. Shrink and enlarge per
     SPEC.md §6; requires |w - ref_w| <= depth (caller's contract).
+
+    SORT-based placement, no scatters: XLA serializes TPU scatters (a
+    full-plane scatter at 2048x3072 costs seconds), while a stable row
+    sort by target key produces the identical arrangement — surviving
+    entries carry their target position as key and land compacted in
+    order; dropped entries carry a big key and fall off the sliced end.
     """
     H, Wb = vs.shape
     lane = _lane(H, Wb)
-    rows = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, Wb))
     has_c = arr.ndim == 3
-    out_shape = (H, out_Wb) + ((arr.shape[2],) if has_c else ())
+    chans = ([arr[:, :, c] for c in range(arr.shape[2])] if has_c
+             else [arr])
+    big = jnp.int32(1 << 30)                       # > any real key
+    # (enlarge keys reach 2*(out width); a Wb-derived sentinel is NOT
+    # enough — caught by cfg3's byte-exactness check)
 
-    def expand(m):
-        return m[:, :, None] if has_c else m
+    def fit(vals, cur: int):
+        """Slice/pad sorted row-major values from width cur to out_Wb."""
+        if cur >= out_Wb:
+            return [v[:, :out_Wb] for v in vals]
+        pad = out_Wb - cur
+        return [jnp.concatenate(
+            [v, jnp.zeros((H, pad), v.dtype)], axis=1) for v in vals]
 
     def shrink(_):
         k = ref_w - w
         visible = ((vs == 0) | (vs > k)) & (lane < ref_w)
-        pos = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
-        tgt = jnp.where(visible, pos, out_Wb)      # out-of-bounds -> dropped
-        out = jnp.zeros(out_shape, arr.dtype)
-        return out.at[rows, tgt].set(arr, mode='drop')
+        key = jnp.where(visible, lane, big)
+        srt = jax.lax.sort((key,) + tuple(chans), dimension=1,
+                           num_keys=1, is_stable=True)
+        return fit(list(srt[1:]), Wb)
 
     def enlarge(_):
         k = w - ref_w
         valid = lane < ref_w
         dup = valid & (vs >= 1) & (vs <= k)
         pos = lane + jnp.cumsum(dup.astype(jnp.int32), axis=1) - dup
-        nxt = jnp.roll(arr, -1, axis=1)
-        nxt = jnp.where(expand(lane == ref_w - 1), arr, nxt)
-        ins = _avg_insert(arr, nxt)
-        out = jnp.zeros(out_shape, arr.dtype)
-        out = out.at[rows, jnp.where(valid, pos, out_Wb)].set(arr,
-                                                              mode='drop')
-        return out.at[rows, jnp.where(dup, pos + 1, out_Wb)].set(ins,
-                                                                 mode='drop')
+        k_orig = jnp.where(valid, 2 * pos, big)
+        k_ins = jnp.where(dup, 2 * pos + 1, big)
+        key = jnp.concatenate([k_orig, k_ins], axis=1)
+        outs = []
+        for ch in chans:
+            nxt = jnp.roll(ch, -1, axis=1)
+            nxt = jnp.where(lane == ref_w - 1, ch, nxt)
+            ins = _avg_insert(ch, nxt)
+            outs.append(jnp.concatenate([ch, ins], axis=1))
+        srt = jax.lax.sort((key,) + tuple(outs), dimension=1,
+                           num_keys=1, is_stable=True)
+        return fit(list(srt[1:]), 2 * Wb)
 
-    return jax.lax.cond(w <= ref_w, shrink, enlarge, None)
+    parts = jax.lax.cond(w <= ref_w, shrink, enlarge, None)
+    lane_o = jnp.broadcast_to(jnp.arange(out_Wb, dtype=jnp.int32),
+                              (H, out_Wb))
+    parts = [jnp.where(lane_o < w, v, jnp.zeros((), v.dtype))
+             for v in parts]
+    return jnp.stack(parts, axis=2) if has_c else parts[0]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

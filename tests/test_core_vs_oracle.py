@@ -139,6 +139,24 @@ def test_materialize_enlarge_matches_oracle(make_image):
         assert np.array_equal(out_j[:, :w], out_np), f"w={w}"
 
 
+def test_materialize_enlarge_beyond_buffer_width(make_image):
+    """Enlarge to a target WIDER than the state buffer Wb (cfg3's 1.5x
+    flow): out_Wb > Wb means placement keys exceed 2*Wb — a Wb-derived
+    sort sentinel silently corrupts the output (caught in round 3 by
+    cfg3's byte-exactness check; keep it caught here)."""
+    img = make_image(h=16, w=120)
+    k = 60
+    vs = oracle.compute_vs_map(img, k)
+    cfg = make_cfg(img)                       # Wb = 128
+    st = init_state(cfg, img)
+    st = extend_map(cfg, st, jnp.int32(k))
+    w = 180                                   # > Wb + 2
+    out_np = oracle.materialize(img, vs, w)
+    out_j = np.asarray(materialize(cfg, st, jnp.int32(w), 256))
+    assert np.array_equal(out_j[:, :w], out_np)
+    assert np.all(out_j[:, w:] == 0)
+
+
 def test_carve_reinsert_roundtrip(make_image):
     """Carve k then materialize back at ref width == original (identity)."""
     img = make_image(h=16, w=24)
