@@ -12,6 +12,14 @@ Prints ONE JSON line:
 Also verifies correctness en passant: the TPU visibility map of the first
 K seams must equal the C++ reference's bit-for-bit.
 
+Resilience contract (VERDICT r3 weak #1): the tunneled TPU backend can
+throw transient FAILED_PRECONDITION/UNAVAILABLE errors mid-phase. Every
+device phase runs under a bounded retry that clears JAX caches and
+rebuilds state from scratch; and no matter what fails, this script emits
+exactly one JSON line (with an "error" field naming what was lost and
+whatever phases did succeed) and exits 0. A driver capture can therefore
+never record rc=1 because the chip hiccuped.
+
 Usage: python bench.py [--size 2048] [--seams 100] [--ref-seams 12]
 """
 
@@ -36,6 +44,41 @@ def make_test_image(n: int, seed: int = 0) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _is_transient(e: BaseException) -> bool:
+    """Device/runtime errors worth retrying (vs programming errors)."""
+    name = type(e).__name__
+    if name in ("JaxRuntimeError", "XlaRuntimeError", "InternalError"):
+        return True
+    s = str(e)
+    return any(tag in s for tag in (
+        "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+        "INTERNAL", "ABORTED", "RESOURCE_EXHAUSTED", "TPU backend error"))
+
+
+def device_retry(fn, what: str, attempts: int = 3, sleep_s: float = 3.0):
+    """Run fn(); on a transient backend error, clear JAX caches (dropping
+    any executable whose underlying device state went bad) and retry with
+    linear backoff. fn must rebuild all device state itself — callers pass
+    closures that start from host arrays. Non-transient errors propagate
+    immediately; the last transient attempt's error propagates too."""
+    import jax
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not _is_transient(e) or a == attempts - 1:
+                raise
+            sys.stderr.write(
+                f"[bench] transient device error in {what} "
+                f"(attempt {a + 1}/{attempts}): {type(e).__name__}: "
+                f"{str(e)[:200]}; clearing caches and retrying\n")
+            try:
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            time.sleep(sleep_s * (a + 1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
@@ -48,6 +91,26 @@ def main():
     ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
+    n = args.size
+    result = {
+        "metric": f"seams_per_sec_{n}x{n}_remove{args.seams}",
+        "value": 0.0,
+        "unit": "seams/s",
+        "vs_baseline": 0.0,
+    }
+    errors = []
+
+    try:
+        _run(args, result, errors)
+    except Exception as e:  # noqa: BLE001 — the JSON line must still go out
+        errors.append(f"fatal:{type(e).__name__}:{str(e)[:300]}")
+    if errors:
+        result["error"] = "; ".join(errors)
+    print(json.dumps(result))
+    return 0
+
+
+def _run(args, result, errors):
     import jax
     import jax.numpy as jnp
     from lqr_tpu.core.state import EngineConfig, init_state, round_up
@@ -59,19 +122,33 @@ def main():
 
     backend = jax.default_backend()
     use_pallas = (backend == "tpu") and not args.no_pallas
+    result["backend"] = backend
+    result["pallas"] = use_pallas
     cfg = EngineConfig(H=n, Wb=round_up(n, 128), C=3,
                        use_pallas=use_pallas)
 
+    # --- CPU single-core baseline first (no device state; can't be lost
+    # to a chip transient). Best-of-2 favors the baseline on this noisy
+    # 2-core host.
+    cpu_sps = max(args.ref_seams / native.bench(img, args.ref_seams)
+                  for _ in range(2))
+    result["cpu_singlecore_seams_per_sec"] = round(cpu_sps, 3)
+
     # --- correctness cross-check (small depth, bit-exact)
-    st0 = init_state(cfg, img)
-    stc = extend_map(cfg, st0, jnp.int32(args.check_seams))
-    vs_dev = np.asarray(jax.device_get(stc.vs))[:, :n]
-    vs_ref = native.carve(img, args.check_seams)
-    exact = bool(np.array_equal(vs_dev, vs_ref))
-    max_seam_dev = None
-    if not exact:
-        # quantify: fraction of differing entries
-        max_seam_dev = float((vs_dev != vs_ref).mean())
+    def check():
+        st0 = init_state(cfg, img)
+        stc = extend_map(cfg, st0, jnp.int32(args.check_seams))
+        return np.asarray(jax.device_get(stc.vs))[:, :n]
+
+    try:
+        vs_dev = device_retry(check, "bit-exact check")
+        vs_ref = native.carve(img, args.check_seams)
+        exact = bool(np.array_equal(vs_dev, vs_ref))
+        result["bit_exact_vs_ref"] = exact
+        if not exact:
+            result["mismatch_frac"] = float((vs_dev != vs_ref).mean())
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"check:{type(e).__name__}:{str(e)[:200]}")
 
     # --- device timing: warmup (compile), then SLOPE timing.
     # NOTE measurement hygiene on this backend (axon, a tunneled chip):
@@ -93,32 +170,29 @@ def main():
         sync(o.depth)
         return time.perf_counter() - t0
 
-    for k in (4, args.seams):   # compile both trip counts
-        one(k, seed=1)
-    t_small = min(one(4, seed=70 + i) for i in range(3))
-    t_full = min(one(args.seams, seed=80 + i) for i in range(3))
+    def timed():
+        for k in (4, args.seams):   # compile both trip counts
+            one(k, seed=1)
+        t_small = min(one(4, seed=70 + i) for i in range(3))
+        t_full = min(one(args.seams, seed=80 + i) for i in range(3))
+        return t_small, t_full
+
+    try:
+        t_small, t_full = device_retry(timed, "slope timing")
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"timing:{type(e).__name__}:{str(e)[:200]}")
+        return
+
     per_seam = (t_full - t_small) / (args.seams - 4)
     dev_sps = 1.0 / per_seam
 
-    # --- CPU single-core baseline (C++ reference, the liblqr stand-in);
-    # best-of-2 favors the baseline on this noisy 2-core host
-    cpu_sps = max(args.ref_seams / native.bench(img, args.ref_seams)
-                  for _ in range(2))
-
     from lqr_tpu.profiling import seam_roofline
     rf = seam_roofline(n, n)
-    sol = rf.sol_seams_per_s
 
-    result = {
-        "metric": f"seams_per_sec_{n}x{n}_remove{args.seams}",
+    result.update({
         "value": round(dev_sps, 3),
-        "unit": "seams/s",
         "vs_baseline": round(dev_sps / cpu_sps, 2),
-        "backend": backend,
-        "pallas": use_pallas,
-        "cpu_singlecore_seams_per_sec": round(cpu_sps, 3),
-        "bit_exact_vs_ref": exact,
-        "roofline_frac": round(dev_sps / sol, 3),
+        "roofline_frac": round(dev_sps / rf.sol_seams_per_s, 3),
         # what bounds the remainder (VERDICT r2 #10): the sequential
         # dependency chains, not HBM — see profiling.seam_roofline
         "bound": rf.bound,
@@ -126,10 +200,7 @@ def main():
                                   3),
         "per_seam_us": round(per_seam * 1e6, 1),
         "dispatch_roundtrip_ms_excluded": round(t_small * 1e3, 1),
-        **({"mismatch_frac": max_seam_dev} if max_seam_dev else {}),
-    }
-    print(json.dumps(result))
-    return 0
+    })
 
 
 if __name__ == "__main__":
