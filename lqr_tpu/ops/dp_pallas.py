@@ -449,6 +449,95 @@ def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
     oh_scr[:, :] = oh_final
 
 
+# Roll-free WEDGE backtrack (delta_x == 1): the chase chain per row is
+# mul,add,add (~7.5 ns) instead of two chained cross-lane rolls (~125 ns
+# measured at 2048^2 — scripts/phase2048.py attributed 278 of 384 us/seam
+# to the old chase). Maintain shifted one-hot copies P_e = shift_e(oh),
+# |e| <= KW, rebuilt from oh once per KW rows (one roll-level amortized
+# over KW rows); each row then updates every copy with products of
+# PRECOMPUTED shifted backpointer masks:
+#   oh'        = sum_d shift_d(oh * c_d)            (c_d = (bp == -d))
+#   P'_e       = sum_d P_{e+d} * shift_{e+d}(c_d)
+# Exactness: _shift_folded with edge=False is a true per-row cyclic
+# permutation pi_t, and pi_t(a*b) = pi_t(a)*pi_t(b), pi_e(pi_d(x)) =
+# pi_{e+d}(x), so P_e == pi_e(oh) holds inductively, bit-exactly; the
+# consumed oh is the exact walk (the walker provably never wraps: a wrap
+# would need a backpointer crossing the DP's +inf guard). Env knob (read
+# ONCE at import — changing it mid-process cannot invalidate jit caches,
+# see ADVICE r3): LQR_BT_WEDGE=0 disables, LQR_BT_WEDGE_K sets KW.
+_BT_WEDGE = os.environ.get("LQR_BT_WEDGE", "1") != "0"
+_BT_KW = int(os.environ.get("LQR_BT_WEDGE_K", "2"))
+
+
+def _btw_kernel(pl_ref, m_ref, bp_ref, rec_ref, oh_scr, *, BR, f, L, KW):
+    """Wedge backtrack: emits [BR, L] seam-record rows (one nonzero per
+    row = compacted seam column + 1, fold-reduced) instead of the full
+    one-hot plane — H*L*4 bytes out instead of H*Wb*4."""
+    i = pl.program_id(0)
+    pref_left = pl_ref[0, 0] != 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    W = f * L
+    zero = jnp.int32(0)
+
+    @pl.when(i == 0)
+    def _():
+        m_row = m_ref[:, :]
+        mmin = jnp.min(m_row)
+        eq = m_row == mmin
+        left_x = jnp.min(jnp.where(eq, glane, W))
+        right_x = jnp.max(jnp.where(eq, glane, -1))
+        x0 = jnp.where(pref_left, left_x, right_x)
+        oh_scr[:, :] = (glane == x0).astype(jnp.int32)
+
+    CH = _CHUNK
+    glp1 = glane + 1
+
+    def chunk_fn(k, oh):
+        base = pl.multiple_of(BR - (k + 1) * CH, CH)
+        bp_chunk = bp_ref[pl.ds(base, CH)].astype(jnp.int32)
+        # c_d = (bp == -d): the walker at x+d with bp -d moves to x
+        cst = {d: (bp_chunk == -d).astype(jnp.int32) for d in (-1, 0, 1)}
+
+        def crow(d, j):
+            return jax.lax.slice_in_dim(cst[d], j, j + 1, axis=0)[0]
+
+        recs = [None] * CH
+        for blk in range(CH // KW - 1, -1, -1):
+            # rebuild the copy band from the current one-hot: one
+            # roll-level (all shifts independent) per KW rows
+            P = {e: (_shift_folded(oh, e, zero, f, L, edge=False)
+                     if e else oh) for e in range(-KW, KW + 1)}
+            for step in range(KW):
+                j = blk * KW + KW - 1 - step
+                recs[j] = jnp.sum(P[0] * glp1, axis=0, keepdims=True)
+                # off-chain: shifted masks of row j
+                mt = {}
+                for d in (-1, 0, 1):
+                    for e in range(-(KW - 1 - step), KW - step):
+                        t = e + d
+                        if (d, t) not in mt:
+                            mt[(d, t)] = (
+                                _shift_folded(crow(d, j), t, zero, f, L,
+                                              edge=False)
+                                if t else crow(d, j))
+                newP = {}
+                for e in range(-(KW - 1 - step), KW - step):
+                    acc = None
+                    for d in (-1, 0, 1):
+                        term = P[e + d] * mt[(d, e + d)]
+                        acc = term if acc is None else acc + term
+                    newP[e] = acc
+                P = newP
+            oh = P[0]
+        rec_ref[pl.ds(base, CH)] = jnp.concatenate(recs, axis=0)
+        return oh
+
+    oh_final = jax.lax.fori_loop(0, BR // CH, chunk_fn, oh_scr[:, :])
+    oh_scr[:, :] = oh_final
+
+
 @functools.partial(jax.jit, static_argnames=("delta_x", "has_rig"))
 def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     """Production TPU seam search: folded-row DP + one-hot backtrack.
@@ -494,6 +583,22 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         ),
         interpret=_interpret(),
     )(pl_arr, e_f, rig_f)
+
+    if delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0:
+        rec = pl.pallas_call(
+            functools.partial(_btw_kernel, BR=BR, f=f, L=L, KW=_BT_KW),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((f, L), lambda i: (0, 0)),
+                pl.BlockSpec((BR, f, L), lambda i: (n - 1 - i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((BR, L), lambda i: (n - 1 - i, 0)),
+            scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
+            out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
+            interpret=_interpret(),
+        )(pl_arr, m_last, bp)
+        return jnp.sum(rec, axis=1, dtype=jnp.int32) - 1
 
     oh = pl.pallas_call(
         functools.partial(_btf_kernel, BR=BR, delta_x=delta_x, f=f, L=L),
