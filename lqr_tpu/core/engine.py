@@ -71,11 +71,14 @@ def _carve_once(cfg: EngineConfig, cur_b, cur_bias, cur_rig, w, s,
     pl = pref_is_left(s, cfg.side_switch_freq)
 
     # NOTE: ops.dp_pallas.carve_step_pallas offers fused variants of this
-    # whole step (energy folded into the DP, compaction folded into the
-    # backtrack). Measured on v5e they LOSE to this split: the DP/backtrack
-    # kernels are row-sequential, so every vector op added to them extends
-    # the critical path, while energy/compaction are embarrassingly
-    # parallel and nearly free as XLA passes (see the kernel docstring).
+    # whole step (energy folded into the forward wedge, compaction folded
+    # into the backtrack wedge). RE-MEASURED in r4 with both wedges in
+    # place, at 2048^2 where HBM should favor fusion — they STILL lose
+    # (fused 215-246 vs split 202-218 us/seam; mixed energy-split 242-284):
+    # the seam step is issue/latency-bound after the wedge rewrites, the
+    # in-kernel energy/compact work shares the sequential kernels' VPU,
+    # while the XLA energy and compact passes are embarrassingly parallel
+    # and overlap nothing. The split below stays the production path.
     e = energy_from_plane(cur_b, w, cfg.nrg, h=h)
     if cfg.has_bias:
         e = jnp.where(lane < w, e + cur_bias, INF)

@@ -63,7 +63,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_pallas import (_shift_folded, _rank_consts,
+from .dp_pallas import (_shift_folded, _shift_stack, _rank_consts,
                         _interpret, _CHUNK)
 
 
@@ -101,41 +101,6 @@ def resident_ok(H: int, Wb: int, has_bias: bool, has_rig: bool,
     """Whether the resident kernel applies: CH-divisible 128-multiple
     geometry within a ~14 MB VMEM budget (see _layout)."""
     return _layout(H, Wb, has_bias, has_rig) is not None
-
-
-def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
-                 edge: bool = True):
-    """Batched _shift_folded: M is (R*f, L) holding R independent folded
-    rows (each row = f consecutive sublanes). shifted[x] = row[x + d] per
-    row, out-of-range -> fill.
-
-    One global sublane roll serves every row's fold crossing: the values a
-    row borrows from its neighbor row land only at positions the per-row
-    ``glane_row`` edge mask fills anyway (positions x >= W - d for d > 0,
-    x < -d for d < 0), so results are bit-identical to per-row
-    _shift_folded.
-
-    edge=False skips the out-of-range fill select — callers that mask the
-    edge region themselves (the energy stencil's edge-replicate selects
-    subsume it) save one vector op."""
-    if d == 0:
-        return M
-    Rf = M.shape[0]
-    W = f * L
-    if d > 0:
-        ms = pltpu.roll(M, Rf - 1, axis=0)          # global M[s+1]
-        pre = jnp.where(lane < d, ms, M)            # select-before-roll
-        out = pltpu.roll(pre, (-d) % L, axis=1)
-        if not edge:
-            return out
-        return jnp.where(glane_row >= W - d, fill, out)
-    dd = -d
-    ms = pltpu.roll(M, 1 % Rf, axis=0)              # global M[s-1]
-    pre = jnp.where(lane >= L - dd, ms, M)
-    out = pltpu.roll(pre, dd, axis=1)
-    if not edge:
-        return out
-    return jnp.where(glane_row < dd, fill, out)
 
 
 def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,

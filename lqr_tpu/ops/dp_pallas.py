@@ -278,6 +278,41 @@ def _shift_folded(M, d: int, fill, f: int, L: int, edge: bool = True):
     return jnp.where(glane < dd, fill, out)
 
 
+def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
+                 edge: bool = True):
+    """Batched _shift_folded: M is (R*f, L) holding R independent folded
+    rows (each row = f consecutive sublanes). shifted[x] = row[x + d] per
+    row, out-of-range -> fill.
+
+    One global sublane roll serves every row's fold crossing: the values a
+    row borrows from its neighbor row land only at positions the per-row
+    ``glane_row`` edge mask fills anyway (positions x >= W - d for d > 0,
+    x < -d for d < 0), so results are bit-identical to per-row
+    _shift_folded.
+
+    edge=False skips the out-of-range fill select — callers that mask the
+    edge region themselves (the energy stencil's edge-replicate selects
+    subsume it, and compaction's width zeroing likewise) save one op."""
+    if d == 0:
+        return M
+    Rf = M.shape[0]
+    W = f * L
+    if d > 0:
+        ms = pltpu.roll(M, Rf - 1, axis=0)          # global M[s+1]
+        pre = jnp.where(lane < d, ms, M)            # select-before-roll
+        out = pltpu.roll(pre, (-d) % L, axis=1)
+        if not edge:
+            return out
+        return jnp.where(glane_row >= W - d, fill, out)
+    dd = -d
+    ms = pltpu.roll(M, 1 % Rf, axis=0)              # global M[s-1]
+    pre = jnp.where(lane >= L - dd, ms, M)
+    out = pltpu.roll(pre, dd, axis=1)
+    if not edge:
+        return out
+    return jnp.where(glane_row < dd, fill, out)
+
+
 # rows unrolled per fori iteration (amortizes loop overhead); env-tunable
 # for kernel experiments
 _CHUNK = int(os.environ.get("LQR_DP_CHUNK", "8"))
@@ -644,9 +679,13 @@ def _is_pow2(x: int) -> bool:
     return x > 0 and (x & (x - 1)) == 0
 
 
-def fused_ok(H: int, Wb: int) -> bool:
+def fused_ok(H: int, Wb: int, delta_x: int = 1) -> bool:
     f = _fold_factor(Wb)
-    return H % _CHUNK == 0 and f > 1 and _is_pow2(Wb // f)
+    if H % _CHUNK != 0 or f <= 1:
+        return False
+    if delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0:
+        return True          # wedge backward needs no pow2 L
+    return _is_pow2(Wb // f)
 
 
 def _energy_row_folded(b_row, b_up, b_dn, w, glane, nrg: int, f: int,
@@ -736,9 +775,79 @@ def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
         bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
         return (M_prev, bch[CH - 1])
 
+    # roll-free WEDGE chunk with the energy stencil inline (see
+    # _dpf_kernel.chunk_fn_wedge): the energy rows are computed from the
+    # reader plane (off the M chain) and feed the shifted-copy update
+    # S'_d = shift_d(e) + min(S_{d-1}, S_d, S_{d+1}) — only min,min,add
+    # on the M[y-1] -> M[y] dependency chain.
+    KW = 4
+
+    def chunk_fn_wedge(k, carry):
+        M_prev, b_prev = carry
+        base = k * CH
+        bch = b_ref[pl.ds(base, CH)]
+        bias_ch = bias_ref[pl.ds(base, CH)] if has_bias else None
+        nbase = jnp.minimum(base + CH, BR - 1)
+        in_row = b_ref[pl.ds(nbase, 1)]
+        is_last = base + CH >= BR
+        nxt_row = jnp.where(is_last, bnext_ref[0:1], in_row)[0]
+        first = (i == 0) & (k == 0)
+        bps = []
+        for blk in range(CH // KW):
+            P = {d: _shift_folded(M_prev, d, inf, f, L)
+                 for d in range(-KW, KW + 1)}
+            for jj in range(KW):
+                j = blk * KW + jj
+                r = i * BR + base + j              # global row (traced)
+                b_row = bch[j]
+                b_up = jnp.where(r == 0, b_row,
+                                 b_prev if j == 0 else bch[j - 1])
+                b_dn_raw = bch[j + 1] if j + 1 < CH else nxt_row
+                b_dn = jnp.where(r == H - 1, b_row, b_dn_raw)
+                e = _energy_row_folded(b_row, b_up, b_dn, w, glane, nrg,
+                                       f, L)
+                if has_bias:
+                    e = e + bias_ch[j]
+                e_row = jnp.where(glane < w, e, inf)
+                band = KW - 1 - jj
+                cm, c0, cp = P[-1], P[0], P[1]
+                best = jnp.minimum(jnp.minimum(c0, cm), cp)
+                eq0 = c0 == best
+                eqm = cm == best
+                eqp = cp == best
+                bp = jnp.where(
+                    eq0, jnp.int32(0),
+                    jnp.where(pref_left,
+                              jnp.where(eqm, jnp.int32(-1),
+                                        jnp.int32(1)),
+                              jnp.where(eqp, jnp.int32(1),
+                                        jnp.int32(-1))))
+                row0 = blk == 0 and jj == 0        # static position
+                if row0:                           # dynamic image row 0
+                    bp = jnp.where(first, jnp.int32(0), bp)
+                newP = {0: e_row + (jnp.where(first, jnp.float32(0), best)
+                                    if row0 else best)}
+                for d in range(-band, band + 1):
+                    if d == 0:
+                        continue
+                    e_sh = _shift_folded(e_row, d, inf, f, L)
+                    m3 = jnp.minimum(jnp.minimum(P[d], P[d - 1]),
+                                     P[d + 1])
+                    if row0:
+                        m3 = jnp.where(first, jnp.float32(0), m3)
+                    newP[d] = e_sh + m3
+                P = newP
+                bps.append(bp)
+            M_prev = P[0]
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
+        return (M_prev, bch[CH - 1])
+
+    use_wedge = (delta_x == 1 and not has_rig and CH % KW == 0
+                 and os.environ.get("LQR_FWD_WEDGE", "1") != "0")
+    body = chunk_fn_wedge if use_wedge else chunk_fn
     M0 = frontier[:, :]
     b0 = prevb[:, :]
-    M_final, b_last = jax.lax.fori_loop(0, BR // CH, chunk_fn, (M0, b0))
+    M_final, b_last = jax.lax.fori_loop(0, BR // CH, body, (M0, b0))
     frontier[:, :] = M_final
     prevb[:, :] = b_last
 
@@ -838,6 +947,126 @@ def _btcf_kernel(*refs, BR, delta_x, has_bias, has_rig, f, L):
     oh_scr[:, :] = oh_final
 
 
+def _btwc_kernel(*refs, BR, has_bias, has_rig, f, L, KW):
+    """Fused WEDGE backtrack + compact (delta_x == 1).
+
+    Combines the roll-free chase of _btw_kernel (shifted one-hot copies,
+    mul/add-only chain) with the resident kernel's incremental >=seam
+    mask law (ge' = ge - oh*(bp==+1) + shift_1(oh*(bp==-1)), expressed
+    through the same precomputed mask products) and a per-chunk batched
+    compaction of every carried plane. Emits [BR, L] fold-reduced seam
+    records; compacted planes stream back out block by block — the
+    separate XLA compact pass (2 full planes of HBM per seam) disappears.
+    """
+    it = iter(refs)
+    sc_ref = next(it)
+    m_ref = next(it)
+    bp_ref = next(it)
+    b_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    rig_ref = next(it) if has_rig else None
+    rec_ref = next(it)
+    bo_ref = next(it)
+    biaso_ref = next(it) if has_bias else None
+    rigo_ref = next(it) if has_rig else None
+    oh_scr = next(it)
+    ge_scr = next(it)
+
+    i = pl.program_id(0)
+    pref_left = sc_ref[0, 0] != 0
+    w = sc_ref[0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
+    glane = sub * L + lane
+    CH = _CHUNK
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 1)
+    subS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 0)
+    glaneS = (subS % f) * L + laneS
+    W = f * L
+    zero = jnp.int32(0)
+    glp1 = glane + 1
+
+    @pl.when(i == 0)
+    def _():
+        m_row = m_ref[:, :]
+        mmin = jnp.min(m_row)
+        eq = m_row == mmin
+        left_x = jnp.min(jnp.where(eq, glane, W))
+        right_x = jnp.max(jnp.where(eq, glane, -1))
+        x0 = jnp.where(pref_left, left_x, right_x)
+        oh_scr[:, :] = (glane == x0).astype(jnp.int32)
+        ge_scr[:, :] = (glane >= x0).astype(jnp.int32)
+
+    def chunk_fn(k, carry):
+        oh, ge = carry
+        base = pl.multiple_of(BR - (k + 1) * CH, CH)
+        bp_chunk = bp_ref[pl.ds(base, CH)].astype(jnp.int32)
+        # c_d = (bp == -d): the walker at x+d with bp -d moves to x
+        cst = {d: (bp_chunk == -d).astype(jnp.int32) for d in (-1, 0, 1)}
+
+        def crow(d, j):
+            return jax.lax.slice_in_dim(cst[d], j, j + 1, axis=0)[0]
+
+        recs = [None] * CH
+        ges = [None] * CH
+        for blk in range(CH // KW - 1, -1, -1):
+            P = {e: (_shift_folded(oh, e, zero, f, L, edge=False)
+                     if e else oh) for e in range(-KW, KW + 1)}
+            for step in range(KW):
+                j = blk * KW + KW - 1 - step
+                recs[j] = jnp.sum(P[0] * glp1, axis=0, keepdims=True)
+                ges[j] = ge
+                mt = {}
+
+                def m_of(d, t, j=j):
+                    if (d, t) not in mt:
+                        mt[(d, t)] = (_shift_folded(crow(d, j), t, zero,
+                                                    f, L, edge=False)
+                                      if t else crow(d, j))
+                    return mt[(d, t)]
+
+                newP = {}
+                for e in range(-(KW - 1 - step), KW - step):
+                    acc = None
+                    for d in (-1, 0, 1):
+                        term = P[e + d] * m_of(d, e + d)
+                        acc = term if acc is None else acc + term
+                    newP[e] = acc
+                # incremental >=seam mask: seam moved right (bp == +1,
+                # i.e. c_{-1}) uncovers its old column; moved left
+                # (c_{+1}) covers the new one
+                ge = ge - P[0] * m_of(-1, 0) + P[1] * m_of(1, 1)
+                P = newP
+            oh = P[0]
+        rec_ref[pl.ds(base, CH)] = jnp.concatenate(recs, axis=0)
+
+        # batched compaction of this chunk from the collected ge rows;
+        # _shift_stack edge=False wraps cross-row values only at
+        # positions >= w-1, which the width zeroing overwrites anyway
+        geS = jnp.concatenate(ges, axis=0) != 0
+        sl = pl.ds(base, CH)
+
+        def compact3(src, dst, fill):
+            a2 = src[sl].reshape(CH * f, L)
+            sh = _shift_stack(a2, 1, fill, f, L, laneS, glaneS,
+                              edge=False)
+            out = jnp.where(geS, sh, a2)
+            out = jnp.where(glaneS < w - 1, out, fill)
+            dst[sl] = out.reshape(CH, f, L)
+
+        compact3(b_ref, bo_ref, jnp.float32(0))
+        if has_bias:
+            compact3(bias_ref, biaso_ref, jnp.float32(0))
+        if has_rig:
+            compact3(rig_ref, rigo_ref, jnp.float32(0))
+        return (oh, ge)
+
+    oh_f, ge_f = jax.lax.fori_loop(0, BR // CH, chunk_fn,
+                                   (oh_scr[:, :], ge_scr[:, :]))
+    oh_scr[:, :] = oh_f
+    ge_scr[:, :] = ge_f
+
+
 @functools.partial(jax.jit,
                    static_argnames=("delta_x", "has_bias", "has_rig", "nrg",
                                     "fuse_energy"))
@@ -926,6 +1155,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
             interpret=_interpret(),
         )(sc[:, 0:1], e_tot.reshape(H, f, L), rig3)
 
+    use_btw = delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0
     bwd_in = [sc, m_last, bp, b3]
     bwd_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -933,8 +1163,12 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
         blk_rev,
         blk_rev,
     ]
-    out_specs = [pl.BlockSpec((BR, 128), lambda i: (n - 1 - i, 0)), blk_rev]
-    out_shape = [jax.ShapeDtypeStruct((H, 128), jnp.int32),
+    rec_spec = (pl.BlockSpec((BR, L), lambda i: (n - 1 - i, 0)) if use_btw
+                else pl.BlockSpec((BR, 128), lambda i: (n - 1 - i, 0)))
+    rec_shape = (jax.ShapeDtypeStruct((H, L), jnp.int32) if use_btw
+                 else jax.ShapeDtypeStruct((H, 128), jnp.int32))
+    out_specs = [rec_spec, blk_rev]
+    out_shape = [rec_shape,
                  jax.ShapeDtypeStruct((H, f, L), jnp.float32)]
     if has_bias:
         bwd_in.append(cur_bias.reshape(H, f, L))
@@ -947,18 +1181,29 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
         out_specs.append(blk_rev)
         out_shape.append(jax.ShapeDtypeStruct((H, f, L), jnp.float32))
 
+    if use_btw:
+        kernel = functools.partial(_btwc_kernel, BR=BR, has_bias=has_bias,
+                                   has_rig=has_rig, f=f, L=L, KW=_BT_KW)
+        scratch = [pltpu.VMEM((f, L), jnp.int32),
+                   pltpu.VMEM((f, L), jnp.int32)]
+    else:
+        kernel = functools.partial(_btcf_kernel, BR=BR, delta_x=delta_x,
+                                   has_bias=has_bias, has_rig=has_rig,
+                                   f=f, L=L)
+        scratch = [pltpu.VMEM((f, L), jnp.int32)]
+
     outs = pl.pallas_call(
-        functools.partial(_btcf_kernel, BR=BR, delta_x=delta_x,
-                          has_bias=has_bias, has_rig=has_rig, f=f, L=L),
+        kernel,
         grid=(n,),
         in_specs=bwd_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((f, L), jnp.int32)],
+        scratch_shapes=scratch,
         out_shape=tuple(out_shape),
         interpret=_interpret(),
     )(*bwd_in)
 
-    seam = outs[0][:, 0]
+    seam = (jnp.sum(outs[0], axis=1, dtype=jnp.int32) - 1 if use_btw
+            else outs[0][:, 0])
     b_out = outs[1].reshape(H, Wb)
     k = 2
     bias_out = cur_bias

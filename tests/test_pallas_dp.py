@@ -16,6 +16,19 @@ from lqr_tpu.core import dp as jdp  # noqa: E402
 from lqr_tpu.ops import dp_pallas  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_arena():
+    """Free accumulated jitted executables before this compile-heavy
+    module: XLA:CPU's compiler segfaults once a long pytest process has
+    accumulated enough Mosaic-interpret executables (reproducible with
+    test_carve_resident + test_fuzz_triangle ahead of this file; the
+    crash lands in backend_compile_and_load). Dropping the in-memory
+    caches resets the arena; the persistent disk cache keeps recompiles
+    cheap."""
+    import jax
+    jax.clear_caches()
+
+
 def _random_energy(rng, H, W, Wb):
     e = np.full((H, Wb), np.inf, np.float32)
     e[:, :W] = rng.random((H, W), dtype=np.float32)
@@ -122,9 +135,12 @@ def _ref_carve_once(cur_b, cur_bias, cur_rig, w, pref, delta_x,
 @pytest.mark.parametrize("nrg", [0, 1, 2, 6])
 @pytest.mark.parametrize("masks", [(False, False), (True, False),
                                    (True, True)])
-def test_fused_carve_step(nrg, masks):
+@pytest.mark.parametrize("fuse_energy", [False, True])
+def test_fused_carve_step(nrg, masks, fuse_energy):
     """The fully fused energy+DP+backtrack+compact kernel pair must be
-    bit-identical to the unfused path (seam and all compacted planes)."""
+    bit-identical to the unfused path (seam and all compacted planes) —
+    in both energy modes (fuse_energy=True is the r4 production hot path:
+    energy-inline wedge forward + wedge backward with compaction)."""
     has_bias, has_rig = masks
     rng = np.random.default_rng(5)
     H, W, Wb = 32, 1000, 1024
@@ -144,10 +160,44 @@ def test_fused_carve_step(nrg, masks):
                     jnp.int32(W), jnp.bool_(pref), dx, has_bias, has_rig,
                     nrg)
             ref = _ref_carve_once(*args)
-            got = dp_pallas.carve_step_pallas(*args)
+            got = dp_pallas.carve_step_pallas(*args,
+                                              fuse_energy=fuse_energy)
             for r, g, name in zip(ref, got, ("seam", "b", "bias", "rig")):
                 assert np.array_equal(np.asarray(r), np.asarray(g)), \
                     (name, pref, dx)
+
+
+def test_fused_carve_step_nonpow2_L():
+    """fused_ok admits non-power-of-two L for delta_x == 1 (the wedge
+    backward has no log-reduction); results stay bit-identical.
+
+    Runs with the persistent compile cache disabled: jaxlib 0.9.0
+    segfaults deserializing this interpret-mode executable from the
+    on-disk cache (readback of a fresh same-process compile is fine)."""
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _run_nonpow2_case()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _run_nonpow2_case():
+    rng = np.random.default_rng(11)
+    H, W, Wb = 24, 760, 768            # f=2, L=384 (not a power of two)
+    assert dp_pallas._fold_factor(Wb) > 1
+    assert not dp_pallas._is_pow2(Wb // dp_pallas._fold_factor(Wb))
+    assert dp_pallas.fused_ok(H, Wb, 1)
+    b = np.zeros((H, Wb), np.float32)
+    b[:, :W] = np.round(rng.random((H, W), dtype=np.float32) * 8) / 8
+    z = jnp.zeros((H, Wb), jnp.float32)
+    for pref in (True, False):
+        args = (jnp.asarray(b), z, z, jnp.int32(W), jnp.bool_(pref), 1,
+                False, False, 0)
+        ref = _ref_carve_once(*args)
+        got = dp_pallas.carve_step_pallas(*args, fuse_energy=True)
+        assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
 
 
 def test_fused_carve_step_sqrt_energy_shrinking_width():
