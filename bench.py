@@ -198,6 +198,7 @@ def _run(args, result, errors):
         "bound": rf.bound,
         "chain_floor_frac": round(dev_sps / rf.chain_floor_seams_per_s,
                                   3),
+        "chain_calibration": rf.chain_calibration,
         "per_seam_us": round(per_seam * 1e6, 1),
         "dispatch_roundtrip_ms_excluded": round(t_small * 1e3, 1),
     })

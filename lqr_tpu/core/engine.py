@@ -171,6 +171,13 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
     frame-d0 coords (position c in frame j+1 is position c + (c >= hist[j])
     in frame j), then the rank-of-visible map on vs lifts frame-d0 coords to
     reference columns. Bit-identical to per-seam column-map recording.
+
+    The add-based commit relies on an invariant (ADVICE r3 #1): within a
+    row, the kc committed (rank, seam) pairs hit kc DISTINCT visible
+    columns — composed frame-d0 ranks of distinct seams are distinct by
+    construction (composition is injective per row), every hit column has
+    vs == 0, and rows j >= kc carry rank -1 which matches nothing. Two
+    updates can therefore never land on the same element.
     """
     H, Wb = vs.shape
     irow = jnp.arange(KC, dtype=jnp.int32)[:, None]            # [KC, 1]
@@ -183,19 +190,20 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
     R = jax.lax.fori_loop(0, KC - 1, compose, hist)            # frame-d0
 
     # A frame-d0 coordinate is the seam's rank among visible reference
-    # columns of its row. posmap[y, r] = reference column of the r-th
-    # visible pixel, built with one stable row sort (visible-first,
-    # order-preserving) — full-size scatters/gathers cost ~10x a sort on
-    # TPU. Then one small gather reads the KC original columns and the
-    # seam ids land via _onehot_commit.
+    # columns of its row: commit seam j at the column where the running
+    # visible-rank equals R[j]. One lane cumsum + a [KC, H, Wb] rank
+    # match fused into the chunk reduction — replaces the former
+    # sort + posmap gather + column one-hot (r4: the full-plane stable
+    # sort dominated the commit at 2048^2, ~4.3 -> ~1.4 ms per chunk).
     lane = _lane(H, Wb)
     visible = (vs == 0) & (lane < ref_w)
-    key = 1 - visible.astype(jnp.int32)
-    _, posmap = jax.lax.sort((key, lane), dimension=1, num_keys=1,
-                             is_stable=True)
-
-    orig = jnp.take_along_axis(posmap, R.T, axis=1)            # [H, KC]
-    return _onehot_commit(vs, d0, kc, orig.T)
+    pos = jnp.cumsum(visible.astype(jnp.int32), axis=1) - visible
+    iK = jnp.arange(KC, dtype=jnp.int32)[:, None]              # [KC, 1]
+    Rm = jnp.where(iK < kc, R, jnp.int32(-1))                  # [KC, H]
+    hit = visible[None] & (pos[None] == Rm[:, :, None])        # [KC, H, Wb]
+    vals = (d0 + 1 + iK)[:, :, None]
+    upd = jnp.sum(hit * vals, axis=0, dtype=jnp.int32)         # fused reduce
+    return vs + upd
 
 
 def _posmap_from_vs(vs, ref_w):

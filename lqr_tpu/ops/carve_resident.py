@@ -66,6 +66,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .dp_pallas import (_shift_folded, _shift_stack, _rank_consts,
                         _interpret, _CHUNK)
 
+# Profiling / experiment knobs, read ONCE at import (ADVICE r3 #4: a
+# trace-time read inside the jitted kernel does not key the jit cache,
+# so flipping them mid-process would silently run stale kernels — and
+# NO_BP / NO_ENERGY intentionally produce WRONG results for perf
+# decomposition). Single-shot semantics: set before importing lqr_tpu.
+_FWD_ONLY = bool(os.environ.get("LQR_RESIDENT_FWD_ONLY"))
+_NO_BP = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
+_NO_ENERGY = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
+_KW = int(os.environ.get("LQR_WEDGE_K", "4"))
+_USE_WEDGE = bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
+
 
 def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
     """(f, L, guard) fold layout for the resident kernel, or None.
@@ -81,7 +92,9 @@ def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
     (>570 s, never completed on v5e), and the projected win was marginal
     anyway (the select removal on the two chain shifts is offset by +1/f
     growth of every batched stack op). The guard plumbing (pad/unpad,
-    edge=not guard) is kept so the experiment is one line to re-run.
+    edge=not guard) is kept so the experiment is one line to re-run —
+    consequently pad is CURRENTLY ALWAYS 0 and guard always False (this
+    function only ever returns (Wb//128, 128, False)).
     """
     if Wb % 128 != 0 or H % _CHUNK != 0:
         return None
@@ -166,15 +179,14 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
     by_right = sorted(cands, key=lambda c: c[2])
     CH = _CHUNK
     NC = H // CH
-    fwd_only = bool(os.environ.get("LQR_RESIDENT_FWD_ONLY"))
+    fwd_only = _FWD_ONLY
     # perf-decomposition knobs (WRONG RESULTS — profiling only)
-    no_bp = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
-    no_energy = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
+    no_bp = _NO_BP
+    no_energy = _NO_ENERGY
     # wedge fwd sweep (see wedge_rows; default ON where it applies —
     # measured 34.4 -> 15.7 us/seam fwd at 512x384); KW rows per block
-    KW = int(os.environ.get("LQR_WEDGE_K", "4"))
-    use_wedge = (bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
-                 and delta_x == 1 and not has_rig and CH % KW == 0)
+    KW = _KW
+    use_wedge = _USE_WEDGE and delta_x == 1 and not has_rig and CH % KW == 0
 
     # loop-constant index maps: per-row geometry for single rows (f, L)
     # and for CH-row stacks (CH*f, L)

@@ -317,6 +317,12 @@ def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
 # for kernel experiments
 _CHUNK = int(os.environ.get("LQR_DP_CHUNK", "8"))
 
+# Forward-wedge kill switch. Read ONCE at import (ADVICE r3 #4: knobs
+# read at trace time inside jitted kernels do not invalidate the jit
+# cache, so mid-process changes silently run stale kernels; import-time
+# reads make the single-shot semantics explicit).
+_FWD_WEDGE = os.environ.get("LQR_FWD_WEDGE", "1") != "0"
+
 # backpointer dtype of the folded kernels: |dx| <= 10 fits int8, which
 # quarters the DP's store + backtrack's load traffic (env knob for
 # experiments / fallback)
@@ -430,7 +436,7 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
         return M_prev
 
     use_wedge = (delta_x == 1 and not has_rig and CH % KW == 0
-                 and os.environ.get("LQR_FWD_WEDGE", "1") != "0")
+                 and _FWD_WEDGE)
     body = chunk_fn_wedge if use_wedge else chunk_fn
     M_final = jax.lax.fori_loop(0, BR // CH, body, frontier[:, :])
     frontier[:, :] = M_final
@@ -843,7 +849,7 @@ def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
         return (M_prev, bch[CH - 1])
 
     use_wedge = (delta_x == 1 and not has_rig and CH % KW == 0
-                 and os.environ.get("LQR_FWD_WEDGE", "1") != "0")
+                 and _FWD_WEDGE)
     body = chunk_fn_wedge if use_wedge else chunk_fn
     M0 = frontier[:, :]
     b0 = prevb[:, :]

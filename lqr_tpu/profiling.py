@@ -70,6 +70,10 @@ class Roofline:
     sol_seams_per_s: float  # speed-of-light bound from HBM alone
     breakdown: dict
     chain_floor_seams_per_s: float = 0.0  # dependency-chain latency bound
+    # the chain latency constants (_TAU_*) are measured on v5e; HBM rates
+    # are device-keyed but the chain floor is NOT — on other device kinds
+    # treat chain_floor/bound as v5e-calibrated estimates (ADVICE r3 #2)
+    chain_calibration: str = "v5e"
 
     def efficiency(self, measured_seams_per_s: float) -> float:
         return measured_seams_per_s / self.sol_seams_per_s

@@ -98,6 +98,6 @@ def test_resident_extension_depth(rng):
 def test_resident_ok_gates():
     assert not resident_ok(2048, 2048, False, False)   # VMEM too large
     assert not resident_ok(20, 384, False, False)      # H not CH-divisible
-    assert resident_ok(16, 384, False, False)          # guard fold: any 128k W
+    assert resident_ok(16, 384, False, False)  # 384 = 3*128: exact fold
     assert resident_ok(384, 512, False, False)         # benchmark config #1
     assert resident_ok(768, 1024, True, True)          # benchmark config #2
