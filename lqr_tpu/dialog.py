@@ -30,7 +30,8 @@ from .image_model import Image
 from .masks import MaskEditSession
 from .render import compute_ignore_disc_mask, init_carver, \
     render_noninteractive
-from .settings import (SettingsStore, save_vals, retrieve_vals,
+from .settings import (SettingsStore, UIVals, save_vals, save_ui_vals,
+                       retrieve_vals, retrieve_ui_vals,
                        retrieve_vals_use_aux_layers_names)
 from .sizeentry import Coordinates
 
@@ -62,18 +63,61 @@ class MainDialog:
     """
 
     def __init__(self, image: Image, cfg: LqrConfig | None = None,
-                 colors: SeamColors | None = None):
+                 colors: SeamColors | None = None,
+                 ui: UIVals | None = None):
         self.image = image
         self.cfg = cfg or LqrConfig()
         self.colors = colors or SeamColors()
+        self.ui = ui or UIVals()
         layer = image.active_layer
         if not self.cfg.selected_layer_name:
             self.cfg = self.cfg.replace(selected_layer_name=image.active)
-        # size section: chain link constrains the ORIGINAL aspect ratio
-        self.size = Coordinates(layer.width, layer.height)
+        # size section: chain link constrains the ORIGINAL aspect ratio;
+        # the chain state is restored from the persisted UI record
+        # (interface.c:387 passes ui_state->chain_active into
+        # alt_coordinates_new)
+        self.size = Coordinates(layer.width, layer.height,
+                                chain_active=self.ui.chain_active)
         self.size.set_width(self.cfg.new_width)
         self.size.set_height(self.cfg.new_height)
+        # expander states persist across sessions (main.h:62-63)
+        self.seams_control_expanded = self.ui.seams_control_expanded
+        self.operations_expanded = self.ui.operations_expanded
         self.refresh()
+
+    # -- persisted UI state --------------------------------------------------
+
+    def last_values_available(self) -> bool:
+        """Sensitivity of the "Last used values" button: both stored
+        dimensions present (interface.c:462-465)."""
+        return (self.ui.last_used_width != -1
+                and self.ui.last_used_height != -1)
+
+    def use_last_values(self):
+        """The "Last used values" button: size entries jump to the
+        previous run's target size (callback_lastvalues_button,
+        interface.c:963-975)."""
+        if not self.last_values_available():
+            raise LqrError(_("no last-used size is stored"))
+        self.set_new_size(width=self.ui.last_used_width)
+        self.set_new_size(height=self.ui.last_used_height)
+
+    def snapshot_ui(self) -> UIVals:
+        """The post-render UI record (main.c:406-412 + the dialog's
+        OK-path saves, interface.c:770-775): statuses reflect the masks
+        actually in use, last-used is the rendered target size, and the
+        chain/expander states come from the live widgets."""
+        return UIVals(
+            chain_active=self.size.chain_active,
+            pres_status=bool(self.cfg.pres_layer),
+            disc_status=bool(self.cfg.disc_layer),
+            rigmask_status=bool(self.cfg.rigmask_layer),
+            last_used_width=int(self.cfg.new_width),
+            last_used_height=int(self.cfg.new_height),
+            last_layer_name=(self.cfg.selected_layer_name
+                             or self.image.active),
+            seams_control_expanded=self.seams_control_expanded,
+            operations_expanded=self.operations_expanded)
 
     # -- size section -------------------------------------------------------
 
@@ -207,7 +251,8 @@ def run_plugin(image: Image, run_mode: RunMode,
         cfg, colors = retrieve_vals_use_aux_layers_names(store, image)
     else:
         stored_cfg, stored_colors = retrieve_vals(store)
-        dialog = MainDialog(image, cfg or stored_cfg, stored_colors)
+        dialog = MainDialog(image, cfg or stored_cfg, stored_colors,
+                            ui=retrieve_ui_vals(store))
         if dialog_driver is None:
             raise LqrError("interactive run requires a dialog driver")
         while True:
@@ -234,4 +279,8 @@ def run_plugin(image: Image, run_mode: RunMode,
                   pres_status=bool(cfg.pres_layer),
                   disc_status=bool(cfg.disc_layer),
                   rigmask_status=bool(cfg.rigmask_layer))
+        # persist the UI record alongside (save_vals, main.c:495):
+        # chain/expander state from the live dialog, statuses + last-used
+        # size from the rendered config (main.c:406-412)
+        save_ui_vals(store, dialog.snapshot_ui())
     return cd.image, cfg

@@ -74,6 +74,44 @@ class SettingsStore:
         os.replace(tmp, self.path)
 
 
+@dataclasses.dataclass(frozen=True)
+class UIVals:
+    """PlugInUIVals (/root/reference/src/main.h:54-71): dialog state
+    persisted under ``plug_in_lqr_ui`` (save /root/reference/src/
+    main.c:495, restore main.c:504); defaults mirror default_ui_vals
+    (main.c:106-122). ``last_layer_ID`` becomes a layer NAME (names, not
+    ids, are what survives across images in this store); the dialog
+    window-position triple and the layer_on_edit fields are omitted —
+    the reference needs them only because its process restarts around
+    each mask-editor round trip, which the in-process MaskEditSession
+    does not."""
+
+    chain_active: bool = False
+    pres_status: bool = False
+    disc_status: bool = False
+    rigmask_status: bool = False
+    last_used_width: int = -1
+    last_used_height: int = -1
+    last_layer_name: str = ""
+    seams_control_expanded: bool = False
+    operations_expanded: bool = False
+
+
+def save_ui_vals(store: SettingsStore, ui: UIVals):
+    """The ui_vals half of save_vals (main.c:495)."""
+    store.set_data(DATA_KEY_UI_VALS, dataclasses.asdict(ui))
+
+
+def retrieve_ui_vals(store: SettingsStore) -> UIVals:
+    """The ui_vals half of retrieve_vals (main.c:504): stored values
+    over defaults; unknown keys ignored."""
+    d = store.get_data(DATA_KEY_UI_VALS)
+    if not d:
+        return UIVals()
+    fields = {f.name for f in dataclasses.fields(UIVals)}
+    return UIVals(**{k: v for k, v in d.items() if k in fields})
+
+
 def _set_aux_layer_name(in_use: str, status: bool) -> str:
     """set_aux_layer_name (main.c:474-486): keep the name only while the
     mask is actually in use."""

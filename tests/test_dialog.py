@@ -128,3 +128,65 @@ def test_run_plugin_interactive_cancel(tmp_path, make_image):
                           dialog_driver=lambda d: Response.CANCEL)
     assert cfg is None
     assert store.get_data("plug_in_lqr") is None   # nothing persisted
+
+
+def test_ui_vals_roundtrip(tmp_path, make_image):
+    """PlugInUIVals persistence (main.h:54-71; save main.c:495, restore
+    main.c:504): a successful interactive run stores chain state,
+    mask statuses, last-used size and expander flags; the next dialog
+    session restores them and the last-values button replays the size."""
+    from lqr_tpu.settings import retrieve_ui_vals
+    store = SettingsStore(tmp_path / "s.json")
+
+    def driver(dialog):
+        assert not dialog.last_values_available()   # default -1/-1
+        dialog.size.chain_active = True
+        dialog.seams_control_expanded = True
+        dialog.set_new_size(width=24)               # chain: height follows
+        return Response.OK
+
+    img = _img(make_image)
+    run_plugin(img, RunMode.INTERACTIVE, store=store, dialog_driver=driver)
+
+    ui = retrieve_ui_vals(store)
+    assert ui.chain_active and ui.seams_control_expanded
+    assert not ui.operations_expanded
+    assert (ui.last_used_width, ui.last_used_height) == (24, 15)
+    assert ui.last_layer_name == "Background"
+    assert not ui.pres_status and not ui.disc_status
+
+    # a fresh dialog session restores the persisted UI state
+    d2 = MainDialog(_img(make_image), ui=ui)
+    assert d2.size.chain_active                    # interface.c:387
+    assert d2.seams_control_expanded
+    assert d2.last_values_available()              # interface.c:462-465
+    d2.size.chain_active = False
+    d2.set_new_size(width=30, height=18)
+    d2.use_last_values()                           # interface.c:963-975
+    assert (d2.cfg.new_width, d2.cfg.new_height) == (24, 15)
+
+
+def test_ui_vals_statuses_follow_masks(tmp_path, make_image):
+    """AUX_LAYER_STATUS bookkeeping (main.c:406-409): statuses reflect
+    the masks actually in use at render time."""
+    from lqr_tpu.settings import retrieve_ui_vals
+    store = SettingsStore(tmp_path / "s.json")
+    img = _img(make_image)
+    m = np.zeros((20, 32, 3), np.uint8)
+    m[:, 8:12] = 255
+    img.add_layer(Layer("disc mask", m))
+
+    def driver(dialog):
+        dialog.select_mask(AuxLayerType.DISC, "disc mask")
+        dialog.set_new_size(width=26, height=20)
+        return Response.OK
+
+    run_plugin(img, RunMode.INTERACTIVE, store=store, dialog_driver=driver)
+    ui = retrieve_ui_vals(store)
+    assert ui.disc_status and not ui.pres_status and not ui.rigmask_status
+
+
+def test_use_last_values_unavailable_raises(make_image):
+    d = MainDialog(_img(make_image))
+    with pytest.raises(LqrError):
+        d.use_last_values()
