@@ -41,6 +41,7 @@ from .errors import (LqrConfigError, LqrImageError, LqrStateError,
                      check_channels, check_target_size)
 from .core.state import EngineConfig, init_state, round_up
 from .core import engine as eng
+from .i18n import _
 from . import oracle as _oracle  # strength() reader shared with the oracle
 
 
@@ -89,10 +90,11 @@ class Carver:
         check_channels(c)
         if not 0 <= int(delta_x) <= MAX_DELTA_X:
             raise LqrConfigError(
-                f"delta_x={delta_x} out of range 0..{MAX_DELTA_X} "
-                f"(/root/reference/src/interface.c:47)")
+                _("delta_x={v} out of range 0..{hi}")
+                .format(v=delta_x, hi=MAX_DELTA_X))
         if rigidity < 0:
-            raise LqrConfigError(f"rigidity={rigidity} must be >= 0")
+            raise LqrConfigError(
+                _("rigidity={v} must be >= 0").format(v=rigidity))
         self.delta_x = int(delta_x)
         self.rigidity = float(rigidity)
         self.nrg = EnergyFunc.GRAD_XABS
@@ -134,9 +136,8 @@ class Carver:
     def set_enl_step(self, step: float):
         if not MIN_ENL_STEP <= step <= MAX_ENL_STEP:
             raise LqrConfigError(
-                f"enl_step={step} out of range [{MIN_ENL_STEP}, "
-                f"{MAX_ENL_STEP}] (UI 100.1%-200%, "
-                f"/root/reference/src/interface.c:2182-2186)")
+                _("enl_step={v} out of range [{lo}, {hi}] (100.1%-200%)")
+                .format(v=step, lo=MIN_ENL_STEP, hi=MAX_ENL_STEP))
         self.enl_step = float(step)
 
     def set_dump_vmaps(self, flag: bool = True):
@@ -196,11 +197,12 @@ class Carver:
         if a.ndim == 2:
             a = a[:, :, None]
         if a.shape[:2] != (self._ref_h, self._ref_w):
+            # size law: /root/reference/src/render.c:881-900
             raise LqrImageError(
-                f"attached aux carver is {a.shape[1]}x{a.shape[0]}, main "
-                f"image is {self._ref_w}x{self._ref_h}; attached carvers "
-                f"must match the main size "
-                f"(/root/reference/src/render.c:881-900)")
+                _("attached aux carver is {aw}x{ah}, main image is "
+                  "{w}x{h}; attached carvers must match the main size")
+                .format(aw=a.shape[1], ah=a.shape[0], w=self._ref_w,
+                        h=self._ref_h))
         check_channels(a.shape[2], "aux carver")
         self._aux.append(jnp.asarray(a))
         self._drop_map()
@@ -215,8 +217,8 @@ class Carver:
         the seam history."""
         if self._state is not None and int(jax.device_get(self._state.depth)):
             raise LqrStateError(
-                "internal: dropping a map with carved seams — this is a "
-                "bug; callers must flatten first")
+                _("internal: dropping a map with carved seams — this is "
+                  "a bug; callers must flatten first"))
         self._state = None
         self._cfg = None
 
@@ -325,8 +327,9 @@ class Carver:
             return
         if target < 1:
             raise LqrConfigError(
-                f"target {'width' if orientation == 0 else 'height'} "
-                f"{target} is invalid; must be >= 1")
+                _("target {axis} {v} is invalid; must be >= 1")
+                .format(axis=_("width") if orientation == 0
+                        else _("height"), v=target))
         while True:
             self._ensure_map(orientation)
             ref = self._ref_w if orientation == 0 else self._ref_h

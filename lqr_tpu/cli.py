@@ -28,6 +28,7 @@ from .config import (LqrConfig, SeamColors, EnergyFunc, ResizeOrder,
                      OutputTarget, ScalebackMode, MAX_COEFF, MAX_DELTA_X,
                      MAX_RIGIDITY, MAX_ENL_STEP, MIN_ENL_STEP)
 from .errors import LqrError, LqrConfigError, check_target_size
+from .i18n import _
 from .image_model import Image, Layer
 from .sizeentry import parse_size
 from .render import init_carver, render_noninteractive
@@ -52,40 +53,40 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="lqr_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("input", nargs="+", help="input image file(s)")
+    p.add_argument("input", nargs="+", help=_("input image file(s)"))
     p.add_argument("width", nargs="?", default=None,
-                   help="final width: pixels or percent like 75%% "
-                        "(optional with --last)")
+                   help=_("final width: pixels or percent like 75%% "
+                          "(optional with --last)"))
     p.add_argument("height", nargs="?", default=None,
-                   help="final height: pixels or percent "
-                        "(optional with --last)")
+                   help=_("final height: pixels or percent "
+                          "(optional with --last)"))
     p.add_argument("--last", action="store_true",
-                   help="replay the last saved settings "
-                        "(RUN_WITH_LAST_VALS; aux masks matched by name)")
+                   help=_("replay the last saved settings "
+                          "(RUN_WITH_LAST_VALS; aux masks matched by name)"))
     p.add_argument("--save-vals", action="store_true",
-                   help="persist this run's settings for --last replay")
+                   help=_("persist this run's settings for --last replay"))
     p.add_argument("--settings", metavar="PATH",
-                   help="settings store file (default "
-                        "~/.config/lqr_tpu/settings.json)")
-    p.add_argument("-o", "--output", help="output file (single input)")
-    p.add_argument("--outdir", help="output directory (multiple inputs)")
-    p.add_argument("--pres", help="preservation mask image file")
+                   help=_("settings store file (default "
+                          "~/.config/lqr_tpu/settings.json)"))
+    p.add_argument("-o", "--output", help=_("output file (single input)"))
+    p.add_argument("--outdir", help=_("output directory (multiple inputs)"))
+    p.add_argument("--pres", help=_("preservation mask image file"))
     p.add_argument("--pres-coeff", type=int, default=1000)
     p.add_argument("--pres-offset", default="0,0", metavar="X,Y")
-    p.add_argument("--disc", help="discard mask image file")
+    p.add_argument("--disc", help=_("discard mask image file"))
     p.add_argument("--disc-coeff", type=int, default=1000)
     p.add_argument("--disc-offset", default="0,0", metavar="X,Y")
-    p.add_argument("--rigmask", help="rigidity mask image file")
+    p.add_argument("--rigmask", help=_("rigidity mask image file"))
     p.add_argument("--rigmask-offset", default="0,0", metavar="X,Y")
     p.add_argument("--rigidity", type=float, default=0.0)
     p.add_argument("--delta-x", type=int, default=1)
     p.add_argument("--enl-step", type=float, default=150.0,
-                   help="max enlargement per step, percent (default 150)")
+                   help=_("max enlargement per step, percent (default 150)"))
     p.add_argument("--no-resize-aux", action="store_true")
     p.add_argument("--no-resize-canvas", action="store_true")
     p.add_argument("--output-target", choices=_TARGET, default="same")
     p.add_argument("--seams", action="store_true",
-                   help="output the seam map(s)")
+                   help=_("output the seam map(s)"))
     p.add_argument("--seam-colors", default="1,0,0,0.2,0,0",
                    metavar="R1,G1,B1,R2,G2,B2")
     p.add_argument("--nrg", choices=_NRG, default="grad_xabs")
@@ -93,13 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scaleback", action="store_true")
     p.add_argument("--scaleback-mode", choices=_SB, default="lqrback")
     p.add_argument("--disc-on-enlarge", action="store_true",
-                   help="do NOT ignore the discard mask when enlarging")
+                   help=_("do NOT ignore the discard mask when enlarging"))
     p.add_argument("--gap-width", type=int,
-                   help="animate: width keyframe for the last frame")
+                   help=_("animate: width keyframe for the last frame"))
     p.add_argument("--gap-height", type=int,
-                   help="animate: height keyframe for the last frame")
+                   help=_("animate: height keyframe for the last frame"))
     p.add_argument("--cpu", action="store_true",
-                   help="force pure-JAX (no Pallas) path")
+                   help=_("force pure-JAX (no Pallas) path"))
     return p
 
 
@@ -109,7 +110,8 @@ def _xy(s: str) -> tuple[int, int]:
         return int(x), int(y)
     except ValueError:
         raise LqrConfigError(
-            f"offset {s!r} is not of the form X,Y (integers)") from None
+            _("offset {s!r} is not of the form X,Y (integers)")
+            .format(s=s)) from None
 
 
 def _validate(args) -> None:
@@ -118,8 +120,8 @@ def _validate(args) -> None:
     if args.width is None or args.height is None:
         if not args.last:
             raise LqrConfigError(
-                "width and height are required (or use --last to replay "
-                "the saved settings)")
+                _("width and height are required (or use --last to replay "
+                  "the saved settings)"))
     else:
         # syntax check; percent sizes resolve per image (size-entry %
         # unit, altsizeentry.c percent law)
@@ -128,25 +130,30 @@ def _validate(args) -> None:
         check_target_size(w, h)
         if _is_percent(args) and (args.gap_width or args.gap_height):
             raise LqrConfigError(
-                "percent sizes cannot combine with --gap-* keyframes")
+                _("percent sizes cannot combine with --gap-* keyframes"))
     if not 0 <= args.delta_x <= MAX_DELTA_X:
         raise LqrConfigError(
-            f"--delta-x {args.delta_x} out of range 0..{MAX_DELTA_X}")
+            _("--delta-x {v} out of range 0..{hi}")
+            .format(v=args.delta_x, hi=MAX_DELTA_X))
     if not 0 <= args.rigidity <= MAX_RIGIDITY:
         raise LqrConfigError(
-            f"--rigidity {args.rigidity} out of range 0..{MAX_RIGIDITY:g}")
+            _("--rigidity {v} out of range 0..{hi:g}")
+            .format(v=args.rigidity, hi=MAX_RIGIDITY))
     for name in ("pres_coeff", "disc_coeff"):
         v = getattr(args, name)
         if not 0 <= v <= MAX_COEFF:
             raise LqrConfigError(
-                f"--{name.replace('_', '-')} {v} out of range 0..{MAX_COEFF}")
+                _("--{name} {v} out of range 0..{hi}")
+                .format(name=name.replace("_", "-"), v=v, hi=MAX_COEFF))
     if not MIN_ENL_STEP * 100 <= args.enl_step <= MAX_ENL_STEP * 100:
         raise LqrConfigError(
-            f"--enl-step {args.enl_step} out of range "
-            f"{MIN_ENL_STEP * 100:g}..{MAX_ENL_STEP * 100:g} (percent)")
+            _("--enl-step {v} out of range {lo:g}..{hi:g} (percent)")
+            .format(v=args.enl_step, lo=MIN_ENL_STEP * 100,
+                    hi=MAX_ENL_STEP * 100))
     for path in args.input + [args.pres, args.disc, args.rigmask]:
         if path and not os.path.exists(path):
-            raise LqrConfigError(f"no such file: {path}")
+            raise LqrConfigError(
+                _("no such file: {path}").format(path=path))
 
 
 def _is_percent(args) -> bool:
@@ -211,8 +218,9 @@ def _colors(args) -> SeamColors:
             raise ValueError(len(v))
     except ValueError:
         raise LqrConfigError(
-            f"--seam-colors {args.seam_colors!r} is not 6 comma-separated "
-            f"floats R1,G1,B1,R2,G2,B2") from None
+            _("--seam-colors {v!r} is not 6 comma-separated floats "
+              "R1,G1,B1,R2,G2,B2")
+            .format(v=args.seam_colors)) from None
     return SeamColors(*v)
 
 
@@ -239,7 +247,7 @@ def run_one(path: str, cfg: LqrConfig, args, out_path: str):
                      use_pallas=False if args.cpu else None)
     ok = render_noninteractive(cfg, _colors(args), cd)
     if not ok:
-        raise RuntimeError(f"render failed for {path}")
+        raise LqrError(_("render failed for {path}").format(path=path))
     if cfg.output_seams or cfg.output_target != OutputTarget.SAME_LAYER:
         out = cd.image.flatten_visible()
     else:
@@ -276,7 +284,6 @@ def main(argv=None) -> int:
     except LqrError as e:
         # user-facing error channel (the g_message analog,
         # /root/reference/src/render.c:42-62)
-        from .i18n import _
         print(f"lqr-tpu: {_('error')}: {e}", file=sys.stderr)
         return 1
 
@@ -288,7 +295,7 @@ def _run(args) -> int:
     if args.last:
         # RUN_WITH_LAST_VALS (main.c:388-390): replay the stored config;
         # aux masks resolve per-image by name inside _run_last below
-        cfg, _ = retrieve_vals(store)
+        cfg, _stored_colors = retrieve_vals(store)
         # explicit size overrides parse like the non---last path (percent
         # stays symbolic here; run_one resolves it against each image)
         if args.width is not None:

@@ -193,8 +193,9 @@ class MainDialog:
         """The layer combo: must pick an eligible layer."""
         if name and name not in self.eligible_mask_layers():
             raise LqrError(
-                f"layer {name!r} is not selectable as a mask (must belong "
-                f"to the image and not be the active layer)")
+                _("layer {name!r} is not selectable as a mask (must belong "
+                  "to the image and not be the active layer)")
+                .format(name=name))
         self._select_mask(layer_type, name)
 
     # -- refresh / reset ----------------------------------------------------
@@ -245,8 +246,8 @@ def run_plugin(image: Image, run_mode: RunMode,
 
     if run_mode == RunMode.NONINTERACTIVE:
         if cfg is None:
-            raise LqrError("noninteractive run requires a full config "
-                           "(main.c:308-315 argument check)")
+            raise LqrError(
+                _("noninteractive run requires a full config"))
     elif run_mode == RunMode.WITH_LAST_VALS:
         cfg, colors = retrieve_vals_use_aux_layers_names(store, image)
     else:
@@ -254,7 +255,7 @@ def run_plugin(image: Image, run_mode: RunMode,
         dialog = MainDialog(image, cfg or stored_cfg, stored_colors,
                             ui=retrieve_ui_vals(store))
         if dialog_driver is None:
-            raise LqrError("interactive run requires a dialog driver")
+            raise LqrError(_("interactive run requires a dialog driver"))
         while True:
             resp = Response(dialog_driver(dialog))
             if resp == Response.OK:
@@ -267,13 +268,13 @@ def run_plugin(image: Image, run_mode: RunMode,
                 dialog.refresh()
                 continue
             if resp == Response.FATAL:
-                raise LqrError("dialog reported a fatal state")
+                raise LqrError(_("dialog reported a fatal state"))
             return image, None          # CANCEL: no render, nothing saved
 
     cd = init_carver(image, cfg, use_pallas=use_pallas)
     ok = render_noninteractive(cfg, colors, cd)
     if not ok:
-        raise LqrError("render failed")
+        raise LqrError(_("render failed"))
     if run_mode == RunMode.INTERACTIVE:
         save_vals(store, cfg, colors,
                   pres_status=bool(cfg.pres_layer),

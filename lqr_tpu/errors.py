@@ -16,6 +16,8 @@ an assert; the CLI catches ``LqrError`` and exits cleanly.
 
 from __future__ import annotations
 
+from .i18n import _
+
 
 class LqrError(Exception):
     """Base class for all user-facing framework errors (CATCH analog)."""
@@ -40,12 +42,13 @@ def check_channels(c: int, what: str = "image") -> None:
     """BPP_CHECK (/root/reference/src/render.c:48-55): 1..4 channels."""
     if not 1 <= c <= 4:
         raise LqrImageError(
-            f"{what} has {c} channels; only 1-4 (GRAY, GRAYA, RGB, RGBA) "
-            f"are supported")
+            _("{what} has {c} channels; only 1-4 (GRAY, GRAYA, RGB, RGBA) "
+              "are supported").format(what=what, c=c))
 
 
 def check_target_size(w: int, h: int) -> None:
     """Resize targets must be positive (altsizeentry lower bound)."""
     if w < 1 or h < 1:
         raise LqrConfigError(
-            f"target size {w}x{h} is invalid; both sides must be >= 1")
+            _("target size {w}x{h} is invalid; both sides must be >= 1")
+            .format(w=w, h=h))

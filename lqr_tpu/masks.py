@@ -111,8 +111,8 @@ class MaskEditSession:
         cov = np.clip(np.asarray(region, np.float32), 0.0, 1.0) * strength
         if cov.shape != self.layer.pixels.shape[:2]:
             raise LqrStateError(
-                f"paint region {cov.shape} does not match mask layer "
-                f"{self.layer.pixels.shape[:2]}")
+                _("paint region {got} does not match mask layer {want}")
+                .format(got=cov.shape, want=self.layer.pixels.shape[:2]))
         p = self.layer.pixels
         c = p.shape[2]
         vals = [self.color[0]] if c <= 2 else list(self.color)

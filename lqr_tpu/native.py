@@ -37,9 +37,11 @@ def _load():
             capture_output=True, text=True)
         if proc.returncode != 0:
             from .errors import LqrError
+            from .i18n import _
             raise LqrError(
-                f"g++ failed building the native reference carver "
-                f"({_SRC.name}):\n{proc.stderr}")
+                _("g++ failed building the native reference carver "
+                  "({src}):\n{err}").format(src=_SRC.name,
+                                            err=proc.stderr))
     lib = ctypes.CDLL(str(_SO))
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..core.state import EngineConfig, MapState, round_up
 from ..core import engine as eng
 from ..errors import LqrImageError
+from ..i18n import _
 
 
 def rigc_table(heights, delta_x: int) -> np.ndarray:
@@ -174,7 +175,8 @@ class BatchCarver:
         (sharding.extend_map_sharded: per-seam row-block halo-exchange DP
         — the spatial/sequence-parallel axis; requires equal heights)."""
         if not images:
-            raise LqrImageError("BatchCarver needs at least one image")
+            raise LqrImageError(
+                _("BatchCarver needs at least one image"))
         C = images[0].shape[2] if images[0].ndim == 3 else 1
         H = max(im.shape[0] for im in images)
         Wmax = max(im.shape[1] for im in images)
@@ -188,7 +190,8 @@ class BatchCarver:
                 im = im[:, :, None]
             if im.shape[2] != C:
                 raise LqrImageError(
-                    f"image {i} has {im.shape[2]} channels, batch has {C}")
+                    _("image {i} has {c} channels, batch has {C}")
+                    .format(i=i, c=im.shape[2], C=C))
             h, w = im.shape[:2]
             buf[i, :h, :w] = im
             widths[i] = w
@@ -223,8 +226,8 @@ class BatchCarver:
             n_aux = len(aux[0])
             if any(len(a) != n_aux for a in aux):
                 raise LqrImageError(
-                    "every image must attach the same number of aux "
-                    "carvers")
+                    _("every image must attach the same number of aux "
+                      "carvers"))
             planes = []
             chans = []
             for j in range(n_aux):
@@ -236,9 +239,10 @@ class BatchCarver:
                         a = a[:, :, None]
                     if a.shape[:2] != (heights[i], widths[i]):
                         raise LqrImageError(
-                            f"aux {j} of image {i} is "
-                            f"{a.shape[1]}x{a.shape[0]}, image is "
-                            f"{widths[i]}x{heights[i]}")
+                            _("aux {j} of image {i} is {aw}x{ah}, image "
+                              "is {w}x{h}")
+                            .format(j=j, i=i, aw=a.shape[1], ah=a.shape[0],
+                                    w=widths[i], h=heights[i]))
                     pj[i, :heights[i], :widths[i]] = a
                 planes.append(pj)
                 chans.append(cj)
@@ -268,8 +272,8 @@ class BatchCarver:
                             and mesh.shape["cols"] > 1)
         if self.col_sharded and self.ragged:
             raise LqrImageError(
-                "column sharding requires equal image heights (pad or "
-                "batch same-height images together)")
+                _("column sharding requires equal image heights (pad or "
+                  "batch same-height images together)"))
         if mesh is not None:
             from .sharding import shard_batch_state
             self.state = shard_batch_state(self.state, mesh,

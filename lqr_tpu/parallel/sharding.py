@@ -43,6 +43,7 @@ from ..core.state import INF, MapState
 from ..core import dp as dp_mod
 from ..core.energy import energy as energy_fn
 from ..errors import LqrImageError
+from ..i18n import _
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None):
@@ -85,14 +86,15 @@ def shard_batch_state(st: MapState, mesh: Mesh,
     n_data = mesh.shape["data"]
     if B % n_data != 0:
         raise LqrImageError(
-            f"batch of {B} images cannot shard evenly over {n_data} "
-            f"'data' devices; pad the batch to a multiple of {n_data}")
+            _("batch of {B} images cannot shard evenly over {n} 'data' "
+              "devices; pad the batch to a multiple of {n}")
+            .format(B=B, n=n_data))
     if cols:
         n_cols = mesh.shape["cols"]
         if st.ref.shape[2] % n_cols != 0:
             raise LqrImageError(
-                f"width {st.ref.shape[2]} cannot shard evenly over "
-                f"{n_cols} 'cols' devices")
+                _("width {w} cannot shard evenly over {n} 'cols' devices")
+                .format(w=st.ref.shape[2], n=n_cols))
     return MapState(
         ref=put(st.ref), bias=put(st.bias), rig=put(st.rig), vs=put(st.vs),
         aux=tuple(put(a) for a in st.aux),

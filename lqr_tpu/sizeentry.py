@@ -27,6 +27,7 @@ import enum
 import math
 
 from .errors import LqrConfigError
+from .i18n import _
 
 
 class Unit(enum.Enum):
@@ -172,5 +173,5 @@ def parse_size(spec: str, base: float) -> int:
         return int(spec)
     except ValueError:
         raise LqrConfigError(
-            f"size {spec!r} is neither an integer nor a percentage "
-            f"like '75%'") from None
+            _("size {spec!r} is neither an integer nor a percentage "
+              "like '75%'").format(spec=spec)) from None
