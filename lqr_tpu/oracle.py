@@ -257,9 +257,17 @@ def materialize(ref: np.ndarray, vs: np.ndarray, w: int) -> np.ndarray:
             j += 1
             if 1 <= vs[y, x] <= k:
                 nxt = ref[y, min(x + 1, W - 1)]
-                # floor average in integer arithmetic (SPEC.md §6 [CHOICE])
-                out[y, j] = ((p.astype(np.uint16) + nxt.astype(np.uint16))
-                             // 2).astype(ref.dtype)
+                if np.issubdtype(ref.dtype, np.integer):
+                    # floor average in integer arithmetic (SPEC.md §6
+                    # [CHOICE])
+                    out[y, j] = ((p.astype(np.uint16)
+                                  + nxt.astype(np.uint16))
+                                 // 2).astype(ref.dtype)
+                else:
+                    # float planes (bias/rig) average exactly like the
+                    # engine's _avg_insert: (a + b) * 0.5 in the plane
+                    # dtype (engine.py _avg_insert float branch)
+                    out[y, j] = (p + nxt) * ref.dtype.type(0.5)
                 j += 1
         assert j == w
     return out
