@@ -120,6 +120,12 @@ class Carver:
         self._cfg: EngineConfig | None = None
         self._orientation = 0
         self._vmaps: list[VMap] = []
+        # host-side mirrors of the live map's depth and local ref width:
+        # both are deterministic on the host, and a device fetch on this
+        # backend costs a ~25 ms round trip — the orchestration (resize /
+        # flatten / dump) must not block on the chip for bookkeeping
+        self._depth_h = 0
+        self._map_ref_w = 0
 
     # -- liblqr setters -----------------------------------------------------
 
@@ -215,7 +221,7 @@ class Carver:
         Callers must have committed carved seams first
         (``_flatten_if_carved``); dropping a carved map would silently lose
         the seam history."""
-        if self._state is not None and int(jax.device_get(self._state.depth)):
+        if self._state is not None and self._depth_h:
             raise LqrStateError(
                 _("internal: dropping a map with carved seams — this is "
                   "a bug; callers must flatten first"))
@@ -223,7 +229,7 @@ class Carver:
         self._cfg = None
 
     def _flatten_if_carved(self):
-        if self._state is not None and int(jax.device_get(self._state.depth)):
+        if self._state is not None and self._depth_h:
             self.flatten()
 
     def _local_dims(self, orientation):
@@ -266,6 +272,8 @@ class Carver:
         self._state = init_state(cfg, img, bias=bias, rig=rig_field, aux=aux)
         self._cfg = cfg
         self._orientation = orientation
+        self._depth_h = 0
+        self._map_ref_w = W
 
     def _ensure_map(self, orientation: int):
         if self._state is not None and self._orientation == orientation:
@@ -278,7 +286,7 @@ class Carver:
         """Snapshot the live map as a VMap (lqr_vmap_dump semantics)."""
         if self._state is None:
             return None
-        depth = int(jax.device_get(self._state.depth))
+        depth = self._depth_h
         if depth == 0:
             return None
         H, W = self._local_dims(self._orientation)
@@ -295,10 +303,11 @@ class Carver:
     def _extend(self, need_depth: int):
         """Extend the live map to depth >= need_depth."""
         st = self._state
-        depth = int(jax.device_get(st.depth))
+        depth = self._depth_h
         k = need_depth - depth
         if k <= 0:
             return
+        self._depth_h = need_depth
         prog = self.progress
         if prog is not None:
             from .i18n import _
@@ -371,7 +380,7 @@ class Carver:
         if st is None:
             return
         w_local = self._w if self._orientation == 0 else self._h
-        out_Wb = _bucket(max(w_local, int(jax.device_get(st.ref_w))))
+        out_Wb = _bucket(max(w_local, self._map_ref_w))
         img, bias, rig, aux = eng.materialize_all(cfg, st, jnp.int32(w_local),
                                                   out_Wb)
         img = img[:, :w_local]
@@ -407,7 +416,7 @@ class Carver:
             return self._ref_img, list(self._aux)
         st, cfg = self._state, self._cfg
         w_local = self._w if self._orientation == 0 else self._h
-        out_Wb = _bucket(max(w_local, int(jax.device_get(st.ref_w))))
+        out_Wb = _bucket(max(w_local, self._map_ref_w))
         img, _, _, aux = eng.materialize_all(cfg, st, jnp.int32(w_local),
                                              out_Wb)
         img = img[:, :w_local]
@@ -422,6 +431,14 @@ class Carver:
         write_carver_to_layer output stream, image orientation)."""
         img, _ = self._materialized()
         return np.asarray(jax.device_get(img))
+
+    def get_image_device(self):
+        """Current materialized image as a DEVICE array ([h, w, C] u8,
+        image orientation) — for TPU-resident pipelines that feed the
+        result onward without a host round trip (``get_image`` fetches
+        to host)."""
+        img, _ = self._materialized()
+        return img
 
     def get_aux(self, i: int) -> np.ndarray:
         """Current materialized aux carver i (identical seam sequence)."""
@@ -467,7 +484,7 @@ class Carver:
     def depth(self) -> int:
         if self._state is None:
             return 0
-        return int(jax.device_get(self._state.depth))
+        return self._depth_h
 
     @property
     def scan_by_row(self) -> bool:

@@ -118,6 +118,7 @@ def _restore_live_map(c: Carver, orientation: int, vs_np: np.ndarray,
                 if cfg.has_bias else None)
     cur_rig = (eng.materialize_array(st.rig, vs, st.ref_w, w_shrunk, Wb)
                if cfg.has_rig else None)
+    c._depth_h = int(depth)
     c._state = st._replace(vs=vs, depth=jnp.int32(depth),
                            cur_b=reader_plane(img_s, cfg.nrg),
                            cur_bias=cur_bias, cur_rig=cur_rig)

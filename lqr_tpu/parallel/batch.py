@@ -21,6 +21,7 @@ the identical seam sequence (lqr_carver_attach,
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -65,6 +66,26 @@ def init_state_batched(cfg: EngineConfig, pixels, widths,
                     cur_bias=bias, cur_rig=rig,
                     ref_w=jnp.asarray(widths, jnp.int32),
                     depth=jnp.zeros((B,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def extend_map_scan_pallas(cfg: EngineConfig, st: MapState, k):
+    """Pallas tier for equal-height batches: lax.scan over the batch
+    axis, each image carved by the SINGLE-image engine (the resident
+    VMEM kernel where it fits, the wedge kernels otherwise). One
+    dispatch covers the whole batch; per-image work runs at the solo
+    engine's per-seam rate instead of the scan DP's (~15x at cfg5's
+    360x640 — the scan DP's sequential row steps are tiny ops that
+    cannot hide their own overheads). Bit-identical to solo carves by
+    construction — it IS the solo path, vmapped over nothing.
+
+    cfg must carry use_pallas=True; k: [B] per-image seam counts."""
+    def body(c, xs):
+        st_i, k_i = xs
+        return c, eng._extend_hot(cfg, st_i, k_i)
+
+    _, out = jax.lax.scan(body, jnp.int32(0), (st, k))
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -249,19 +270,29 @@ class BatchCarver:
             aux_planes = tuple(planes)
             aux_channels = tuple(chans)
 
-        # The batched path uses the scan DP: vmapping it makes every scan
-        # step a [B, Wb] row-block — full VPU utilization without Pallas
-        # (the Pallas kernels exist for the latency-bound single-image path).
-        del use_pallas
+        # Two batched tiers (r4): equal-height batches on a TPU scan the
+        # batch axis through the SINGLE-image Pallas engine (resident
+        # kernel and wedge kernels — extend_map_scan_pallas, ~15x the
+        # scan DP at cfg5's shape); ragged heights / no-Pallas backends
+        # use the vmapped scan DP (every scan step a [B, Wb] row-block —
+        # full VPU utilization without Pallas). use_pallas: None = auto
+        # (Pallas tier on a TPU backend), or force for tests
+        # (LQR_PALLAS_INTERPRET=1 exercises it on CPU).
         self.cfg = EngineConfig(H=H, Wb=Wb, C=C, delta_x=delta_x, nrg=nrg,
                                 use_pallas=False, has_bias=has_bias,
                                 has_rig=has_rig,
                                 aux_channels=aux_channels)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         self.heights = heights
         self.widths = widths
         # ragged machinery only when heights actually differ — equal
         # heights take the leaner non-ragged program
         self.ragged = bool((heights != H).any())
+        self.scan_pallas = (bool(use_pallas) and not self.ragged
+                            and mesh is None)
+        self._cfg_pl = (dataclasses.replace(self.cfg, use_pallas=True)
+                        if self.scan_pallas else None)
         self._rigc = (jnp.asarray(rigc_table(heights, delta_x))
                       if (self.ragged and has_rig) else None)
         self.state = init_state_batched(self.cfg, buf, widths,
@@ -287,6 +318,9 @@ class BatchCarver:
             from .sharding import extend_map_sharded
             self.state = extend_map_sharded(self.mesh, self.cfg,
                                             self.state, jnp.asarray(n))
+        elif self.scan_pallas:
+            self.state = extend_map_scan_pallas(self._cfg_pl, self.state,
+                                                jnp.asarray(n))
         else:
             self.state = extend_map_batched(
                 self.cfg, self.state, jnp.asarray(n),

@@ -270,3 +270,35 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_batch_scan_pallas_tier_bit_exact(make_image):
+    """The equal-height Pallas tier (lax.scan over images through the
+    solo engine, r4) must produce the identical visibility maps as the
+    vmapped scan-DP batched path — including ragged widths and per-image
+    seam counts."""
+    import os
+    from lqr_tpu.parallel.batch import BatchCarver
+
+    imgs = [make_image(h=24, w=40), make_image(h=24, w=36),
+            make_image(h=24, w=40)]
+    counts = np.array([6, 4, 5], np.int32)
+    os.environ["LQR_PALLAS_INTERPRET"] = "1"
+    try:
+        bp = BatchCarver([i.copy() for i in imgs], use_pallas=True)
+        assert bp.scan_pallas
+        bp.carve(counts)
+        vs_p = np.asarray(bp.state.vs)
+    finally:
+        del os.environ["LQR_PALLAS_INTERPRET"]
+    bs = BatchCarver(imgs, use_pallas=False)
+    assert not bs.scan_pallas
+    bs.carve(counts)
+    assert np.array_equal(vs_p, np.asarray(bs.state.vs))
+
+
+def test_batch_scan_pallas_gated_off_when_ragged_or_meshed(make_image):
+    from lqr_tpu.parallel.batch import BatchCarver
+    ragged = BatchCarver([make_image(h=24, w=32), make_image(h=16, w=32)],
+                         use_pallas=True)
+    assert not ragged.scan_pallas            # ragged heights -> scan DP
