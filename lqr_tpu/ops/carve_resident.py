@@ -64,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dp_pallas import (_shift_folded, _shift_stack, _rank_consts,
-                        _interpret, _CHUNK)
+                        _interpret, _CHUNK, _BT_WEDGE, _BT_KW)
 
 # Profiling / experiment knobs, read ONCE at import (ADVICE r3 #4: a
 # trace-time read inside the jitted kernel does not key the jit cache,
@@ -437,6 +437,29 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
         # the scan-path contract (zeros there) is restored by one batched
         # zeroing pass at the end of the kernel instead of a select per
         # row per plane per seam.
+        def _bwd_tail(base, base_v, recs, ges, pm_ch, oh, ge):
+            """Store the chunk's records; compact every plane from the
+            collected ge rows — one (CH*f, L) shift+select per plane
+            (values at x >= current width are garbage either way; the
+            final-grid-step zeroing pass restores the contract)."""
+            seam_ref[0, pl.ds(base, CH), :] = \
+                jnp.concatenate(recs, axis=0)
+            ge_st = jnp.concatenate(ges, axis=0) != 0
+            sl = pl.ds(base_v, CH * f)
+
+            def compact_st(a_st, fill):
+                return jnp.where(
+                    ge_st, _shift_stack(a_st, 1, fill, f, L, laneS,
+                                        glaneS, edge=False), a_st)
+
+            b_scr[sl] = compact_st(b_scr[sl], jnp.float32(0))
+            pm_scr[sl] = compact_st(pm_ch, jnp.int32(0))
+            if has_bias:
+                bias_scr[sl] = compact_st(bias_scr[sl], jnp.float32(0))
+            if has_rig:
+                rig_scr[sl] = compact_st(rig_scr[sl], jnp.float32(0))
+            return (oh, ge)
+
         def bwd_chunk(k, carry):
             oh, ge = carry
             base = pl.multiple_of(H - (k + 1) * CH, CH)
@@ -450,6 +473,52 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
 
             recs = [None] * CH
             ges = [None] * CH
+            if delta_x == 1 and _BT_WEDGE and CH % _BT_KW == 0:
+                # roll-free WEDGE chase (the r4 law of
+                # dp_pallas._btw_kernel, ported here because this chase's
+                # per-row chain carried two chained cross-lane rolls —
+                # the binding latency at resident sizes): shifted one-hot
+                # copies P_e = shift_e(oh) update each row with products
+                # of shifted backpointer masks (mul,add,add on the
+                # chain), rebuilt from oh once per KW rows; the ge mask
+                # and the posmap record ride the same products. Exact by
+                # the cyclic-permutation algebra (see _btw_kernel).
+                cst = {d: (bp_ch == -d).astype(jnp.int32)
+                       for d in (-1, 0, 1)}
+                zero = jnp.int32(0)
+                KWb = _BT_KW
+                for blk in range(CH // KWb - 1, -1, -1):
+                    P = {e: (_shift_folded(oh, e, zero, f, L, edge=False)
+                             if e else oh) for e in range(-KWb, KWb + 1)}
+                    for step in range(KWb):
+                        j = blk * KWb + KWb - 1 - step
+                        recs[j] = jnp.sum(P[0] * row_of(pm1_ch, j),
+                                          axis=0, keepdims=True)
+                        ges[j] = ge
+                        mt = {}
+
+                        def m_of(d, t, j=j, mt=mt):
+                            if (d, t) not in mt:
+                                mt[(d, t)] = (
+                                    _shift_folded(row_of(cst[d], j), t,
+                                                  zero, f, L, edge=False)
+                                    if t else row_of(cst[d], j))
+                            return mt[(d, t)]
+
+                        newP = {}
+                        for e in range(-(KWb - 1 - step), KWb - step):
+                            acc = None
+                            for d in (-1, 0, 1):
+                                term = P[e + d] * m_of(d, e + d)
+                                acc = term if acc is None else acc + term
+                            newP[e] = acc
+                        # seam moved right (bp == +1 = cst[-1]) uncovers
+                        # its old column; moved left (cst[+1]) covers new
+                        ge = ge - P[0] * m_of(-1, 0) + P[1] * m_of(1, 1)
+                        P = newP
+                    oh = P[0]
+                return _bwd_tail(base, base_v, recs, ges, pm_ch, oh, ge)
+
             for j in range(CH - 1, -1, -1):
                 # record: fold-reduce the one-hot against the posmap to a
                 # [1, L] row whose single nonzero is (ref column + 1)
@@ -457,22 +526,6 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                                   keepdims=True)
                 ges[j] = ge                        # ge mask of row j
                 bp_row = row_of(bp_ch, j)
-                if delta_x == 1:
-                    # specialized chase: ge is 0/1 and the seam moves by
-                    # at most one column, so the update is arithmetic —
-                    # ge' = ge - (onehot at s if moved right)
-                    #          + (onehot at s-1 if moved left) —
-                    # reusing the two shift terms of the one-hot walk
-                    z = oh * (bp_row == 0).astype(jnp.int32)
-                    mn = oh * (bp_row == -1).astype(jnp.int32)
-                    mp = oh * (bp_row == 1).astype(jnp.int32)
-                    shl_mn = _shift_folded(mn, 1, jnp.int32(0), f, L,
-                                           edge=False)
-                    shr_mp = _shift_folded(mp, -1, jnp.int32(0), f, L,
-                                           edge=False)
-                    ge = ge - mp + shl_mn
-                    oh = z + shl_mn + shr_mp
-                    continue
                 nxt = oh * (bp_row == 0).astype(jnp.int32)
                 m_pos = []
                 for d in range(1, delta_x + 1):
@@ -503,28 +556,7 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 ge = jnp.where(add != 0, jnp.int32(1), ge)
                 oh = nxt
 
-            seam_ref[0, pl.ds(base, CH), :] = \
-                jnp.concatenate(recs, axis=0)
-
-            # compaction batched per chunk from the collected ge rows —
-            # one (CH*f, L) shift+select per plane instead of one per row
-            # per plane (values at x >= current width are garbage either
-            # way; the final-grid-step zeroing pass restores the contract)
-            ge_st = jnp.concatenate(ges, axis=0) != 0
-            sl = pl.ds(base_v, CH * f)
-
-            def compact_st(a_st, fill):
-                return jnp.where(
-                    ge_st, _shift_stack(a_st, 1, fill, f, L, laneS,
-                                        glaneS, edge=False), a_st)
-
-            b_scr[sl] = compact_st(b_scr[sl], jnp.float32(0))
-            pm_scr[sl] = compact_st(pm_ch, jnp.int32(0))
-            if has_bias:
-                bias_scr[sl] = compact_st(bias_scr[sl], jnp.float32(0))
-            if has_rig:
-                rig_scr[sl] = compact_st(rig_scr[sl], jnp.float32(0))
-            return (oh, ge)
+            return _bwd_tail(base, base_v, recs, ges, pm_ch, oh, ge)
 
         jax.lax.fori_loop(0, NC, bwd_chunk, (oh0, ge0))
 
