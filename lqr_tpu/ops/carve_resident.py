@@ -76,6 +76,12 @@ _NO_BP = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
 _NO_ENERGY = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
 _KW = int(os.environ.get("LQR_WEDGE_K", "4"))
 _USE_WEDGE = bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
+# backward-chase wedge block size for THIS kernel: at resident fold
+# sizes ((f, L) of 2-4 sublane tiles) the copy-rebuild amortization wins
+# over the issue growth up to KW=4 (v5e A/B at 512x384: KW=2 36.4,
+# KW=4 32.1, KW=8 37.3 us/seam), while the non-resident backtrack at
+# 2048^2 prefers KW=2 (dp_pallas._BT_KW) — its (f, L) ops are 2x wider
+_BT_KW_RES = int(os.environ.get("LQR_BT_WEDGE_K_RES", "4"))
 
 
 def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
@@ -473,7 +479,7 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
 
             recs = [None] * CH
             ges = [None] * CH
-            if delta_x == 1 and _BT_WEDGE and CH % _BT_KW == 0:
+            if delta_x == 1 and _BT_WEDGE and CH % _BT_KW_RES == 0:
                 # roll-free WEDGE chase (the r4 law of
                 # dp_pallas._btw_kernel, ported here because this chase's
                 # per-row chain carried two chained cross-lane rolls —
@@ -486,7 +492,7 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 cst = {d: (bp_ch == -d).astype(jnp.int32)
                        for d in (-1, 0, 1)}
                 zero = jnp.int32(0)
-                KWb = _BT_KW
+                KWb = _BT_KW_RES
                 for blk in range(CH // KWb - 1, -1, -1):
                     P = {e: (_shift_folded(oh, e, zero, f, L, edge=False)
                              if e else oh) for e in range(-KWb, KWb + 1)}
