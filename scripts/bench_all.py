@@ -337,7 +337,14 @@ def config4(report, n_images=4096, wave=256, seams=256):
            bit_exact=exact, meets_50x_target=bool(rate / cpu_rate >= 50),
            images=done, images_per_s_device=round(done / carve_s, 2),
            carve_s=round(carve_s, 1), end_to_end_wall_s=round(wall, 1),
-           cpu_single_core_img_seams_per_s=round(cpu_rate, 1))
+           cpu_single_core_img_seams_per_s=round(cpu_rate, 1),
+           host_prep_note="end-to-end exceeds carve time because this "
+           "2-core host synthesizes+stages 12 GB of wave data through "
+           "the tunneled relay at ~25-40 MB/s while the chip carves; "
+           "prep runs on a pipeline thread overlapped with the previous "
+           "wave's carve, so the ceiling is host+relay bandwidth, not "
+           "the engine (real deployments stream from storage at NIC "
+           "rates)")
 
 
 def config5(report, n_frames=300):
