@@ -64,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dp_pallas import (_shift_folded, _shift_stack, _rank_consts,
-                        _interpret, _CHUNK, _BT_WEDGE, _BT_KW)
+                        _interpret, _CHUNK, _CHUNK_ENV, _BT_WEDGE, _BT_KW)
 
 # Profiling / experiment knobs, read ONCE at import (ADVICE r3 #4: a
 # trace-time read inside the jitted kernel does not key the jit cache,
@@ -82,6 +82,23 @@ _USE_WEDGE = bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
 # KW=4 32.1, KW=8 37.3 us/seam), while the non-resident backtrack at
 # 2048^2 prefers KW=2 (dp_pallas._BT_KW) — its (f, L) ops are 2x wider
 _BT_KW_RES = int(os.environ.get("LQR_BT_WEDGE_K_RES", "4"))
+
+
+def _chunk_res(H: int):
+    """Rows per unrolled chunk for the resident kernel, or None.
+
+    Larger chunks amortize the fori overhead further here than in the
+    streamed kernels because every plane is already VMEM-resident (v5e
+    devtime A/B at 512x384: CH=8 32.3, 16 29.0, 32 25.8, 64 24.4
+    us/seam). LQR_DP_CHUNK (read at dp_pallas import) overrides."""
+    if _interpret():
+        cands = [8]          # see dp_pallas._chunk_for's interpret note
+    else:
+        cands = ([int(_CHUNK_ENV)] if _CHUNK_ENV else []) + [64, 32, 16, 8]
+    for c in cands:
+        if c <= H and H % c == 0:
+            return c
+    return None
 
 
 def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
@@ -102,7 +119,7 @@ def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
     consequently pad is CURRENTLY ALWAYS 0 and guard always False (this
     function only ever returns (Wb//128, 128, False)).
     """
-    if Wb % 128 != 0 or H % _CHUNK != 0:
+    if Wb % 128 != 0 or _chunk_res(H) is None:
         return None
     planes = 2 + int(has_bias) + int(has_rig)   # reader + posmap (+aux)
     f = Wb // 128
@@ -149,7 +166,7 @@ def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,
 
 
 def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
-            guard):
+            guard, CH):
     """Grid-stepped multi-seam kernel: grid = (KC,), one seam per step.
 
     A gridless variant (single invocation, dynamic fori over seams,
@@ -183,7 +200,6 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
     cands = _rank_consts(delta_x, H)
     by_left = sorted(cands, key=lambda c: c[1])
     by_right = sorted(cands, key=lambda c: c[2])
-    CH = _CHUNK
     NC = H // CH
     fwd_only = _FWD_ONLY
     # perf-decomposition knobs (WRONG RESULTS — profiling only)
@@ -665,7 +681,8 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     outs = pl.pallas_call(
         functools.partial(_kernel, KC=KC, delta_x=delta_x,
                           has_bias=has_bias, has_rig=has_rig, nrg=nrg,
-                          ssf=ssf, H=H, f=f, L=L, guard=guard),
+                          ssf=ssf, H=H, f=f, L=L, guard=guard,
+                          CH=_chunk_res(H)),
         grid=(KC,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

@@ -313,9 +313,29 @@ def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
     return jnp.where(glane_row < dd, fill, out)
 
 
-# rows unrolled per fori iteration (amortizes loop overhead); env-tunable
-# for kernel experiments
-_CHUNK = int(os.environ.get("LQR_DP_CHUNK", "8"))
+# Rows unrolled per fori iteration (amortizes loop overhead). Bigger
+# chunks help until compile-size/issue effects bite; the optimum is
+# size-dependent (v5e devtime A/B, r4): 16 wins at 2048^2 (318 -> 284
+# us/seam; 32 regresses), while the VMEM-resident kernel prefers 64
+# (see carve_resident._chunk_res). LQR_DP_CHUNK overrides for
+# experiments (read once at import).
+_CHUNK_ENV = os.environ.get("LQR_DP_CHUNK")
+_CHUNK = int(_CHUNK_ENV) if _CHUNK_ENV else 16
+
+
+def _chunk_for(rows: int) -> int:
+    """Largest supported chunk dividing the given row-block size.
+
+    Interpreter mode (CPU tests) stays at 8: XLA:CPU segfaults compiling
+    the larger unrolled interpret-mode kernels once a long pytest process
+    has accumulated enough executables (same upstream cliff as the
+    test_pallas_dp module fixture); the chunk size is semantically
+    neutral, so tests still cover the kernels bit-exactly."""
+    cands = (8,) if _interpret() else (_CHUNK, 16, 8)
+    for c in cands:
+        if c <= rows and rows % c == 0:
+            return c
+    return rows
 
 # Forward-wedge kill switch. Read ONCE at import (ADVICE r3 #4: knobs
 # read at trace time inside jitted kernels do not invalidate the jit
@@ -330,7 +350,7 @@ _BP_DT = jnp.int32 if os.environ.get("LQR_BP_I32") == "1" else jnp.int8
 
 
 def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
-                delta_x, has_rig, H, f, L):
+                delta_x, has_rig, H, f, L, CH):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     pref_left = pl_ref[0, 0] != 0
@@ -338,7 +358,6 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
     cands = _rank_consts(delta_x, H)
     by_left = sorted(cands, key=lambda c: c[1])
     by_right = sorted(cands, key=lambda c: c[2])
-    CH = _CHUNK
 
     def dp_row(M_prev, e_row, rig_row):
         # values: plain min tree — the M[y-1] -> M[y] critical chain
@@ -447,7 +466,7 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
 
 
 def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
-                f, L):
+                f, L, CH):
     i = pl.program_id(0)
     pref_left = pl_ref[0, 0] != 0
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
@@ -464,8 +483,6 @@ def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
         right_x = jnp.max(jnp.where(eq, glane, -1))
         x0 = jnp.where(pref_left, left_x, right_x)
         oh_scr[:, :] = (glane == x0).astype(jnp.int32)
-
-    CH = _CHUNK
 
     def chunk_fn(k, oh):
         base = BR - (k + 1) * CH
@@ -510,7 +527,8 @@ _BT_WEDGE = os.environ.get("LQR_BT_WEDGE", "1") != "0"
 _BT_KW = int(os.environ.get("LQR_BT_WEDGE_K", "2"))
 
 
-def _btw_kernel(pl_ref, m_ref, bp_ref, rec_ref, oh_scr, *, BR, f, L, KW):
+def _btw_kernel(pl_ref, m_ref, bp_ref, rec_ref, oh_scr, *, BR, f, L, KW,
+                CH):
     """Wedge backtrack: emits [BR, L] seam-record rows (one nonzero per
     row = compacted seam column + 1, fold-reduced) instead of the full
     one-hot plane — H*L*4 bytes out instead of H*Wb*4."""
@@ -532,7 +550,6 @@ def _btw_kernel(pl_ref, m_ref, bp_ref, rec_ref, oh_scr, *, BR, f, L, KW):
         x0 = jnp.where(pref_left, left_x, right_x)
         oh_scr[:, :] = (glane == x0).astype(jnp.int32)
 
-    CH = _CHUNK
     glp1 = glane + 1
 
     def chunk_fn(k, oh):
@@ -591,7 +608,8 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         rig = jnp.zeros((1, Wb), jnp.float32)
     f = _fold_factor(Wb)
     BR = min(_row_block(H), 128)   # cap block VMEM footprint
-    if f == 1 or BR % _CHUNK != 0:
+    ch = _chunk_for(BR)
+    if f == 1 or BR % ch != 0:
         M_last, bp = dp_forward_pallas(e_tot, rig, pref_left, delta_x,
                                        has_rig)
         return backtrack_pallas(M_last, bp, pref_left, delta_x)
@@ -606,7 +624,7 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
 
     m_last, bp = pl.pallas_call(
         functools.partial(_dpf_kernel, BR=BR, delta_x=delta_x,
-                          has_rig=has_rig, H=H, f=f, L=L),
+                          has_rig=has_rig, H=H, f=f, L=L, CH=ch),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -625,9 +643,10 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         interpret=_interpret(),
     )(pl_arr, e_f, rig_f)
 
-    if delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0:
+    if delta_x == 1 and _BT_WEDGE and ch % _BT_KW == 0:
         rec = pl.pallas_call(
-            functools.partial(_btw_kernel, BR=BR, f=f, L=L, KW=_BT_KW),
+            functools.partial(_btw_kernel, BR=BR, f=f, L=L, KW=_BT_KW,
+                              CH=ch),
             grid=(n,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -642,7 +661,8 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
         return jnp.sum(rec, axis=1, dtype=jnp.int32) - 1
 
     oh = pl.pallas_call(
-        functools.partial(_btf_kernel, BR=BR, delta_x=delta_x, f=f, L=L),
+        functools.partial(_btf_kernel, BR=BR, delta_x=delta_x, f=f, L=L,
+                          CH=ch),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -687,9 +707,12 @@ def _is_pow2(x: int) -> bool:
 
 def fused_ok(H: int, Wb: int, delta_x: int = 1) -> bool:
     f = _fold_factor(Wb)
-    if H % _CHUNK != 0 or f <= 1:
+    if f <= 1:
         return False
-    if delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0:
+    ch = _chunk_for(min(_row_block(H), 128))
+    if min(_row_block(H), 128) % ch != 0:
+        return False
+    if delta_x == 1 and _BT_WEDGE and ch % _BT_KW == 0:
         return True          # wedge backward needs no pow2 L
     return _is_pow2(Wb // f)
 
@@ -712,7 +735,8 @@ def _energy_row_folded(b_row, b_up, b_dn, w, glane, nrg: int, f: int,
     return jnp.sqrt(gx * gx + gy * gy)                  # *_NORM
 
 
-def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
+def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L,
+                 CH):
     it = iter(refs)
     sc_ref = next(it)
     b_ref = next(it)
@@ -733,7 +757,6 @@ def _dpef_kernel(*refs, BR, delta_x, has_bias, has_rig, nrg, H, f, L):
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
     glane = sub * L + lane
-    CH = _CHUNK
 
     def dp_row(M_prev, e_row, rig_row):
         best = jnp.full((f, L), inf, jnp.float32)
@@ -908,7 +931,7 @@ def _btcf_kernel(*refs, BR, delta_x, has_bias, has_rig, f, L):
         x0 = jnp.where(pref_left, left_x, right_x)
         oh_scr[:, :] = (glane == x0).astype(jnp.int32)
 
-    CH = _CHUNK
+    CH = _CHUNK          # legacy delta_x>1 fused backward: module default
 
     def compact(a_row, ge):
         out = jnp.where(ge, _shift_folded(a_row, 1, jnp.float32(0), f, L),
@@ -953,7 +976,7 @@ def _btcf_kernel(*refs, BR, delta_x, has_bias, has_rig, f, L):
     oh_scr[:, :] = oh_final
 
 
-def _btwc_kernel(*refs, BR, has_bias, has_rig, f, L, KW):
+def _btwc_kernel(*refs, BR, has_bias, has_rig, f, L, KW, CH):
     """Fused WEDGE backtrack + compact (delta_x == 1).
 
     Combines the roll-free chase of _btw_kernel (shifted one-hot copies,
@@ -984,7 +1007,6 @@ def _btwc_kernel(*refs, BR, has_bias, has_rig, f, L, KW):
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, L), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (f, L), 0)
     glane = sub * L + lane
-    CH = _CHUNK
     laneS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 1)
     subS = jax.lax.broadcasted_iota(jnp.int32, (CH * f, L), 0)
     glaneS = (subS % f) * L + laneS
@@ -1098,6 +1120,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
     f = _fold_factor(Wb)
     L = Wb // f
     BR = min(_row_block(H), 128)
+    ch = _chunk_for(BR)
     n = H // BR
     sc = jnp.stack([jnp.asarray(pref_left, jnp.int32),
                     jnp.asarray(w, jnp.int32)]).reshape(1, 2)
@@ -1126,7 +1149,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
         m_last, bp = pl.pallas_call(
             functools.partial(_dpef_kernel, BR=BR, delta_x=delta_x,
                               has_bias=has_bias, has_rig=has_rig, nrg=nrg,
-                              H=H, f=f, L=L),
+                              H=H, f=f, L=L, CH=ch),
             grid=(n,),
             in_specs=fwd_specs,
             out_specs=(pl.BlockSpec((f, L), lambda i: (0, 0)), blk),
@@ -1150,7 +1173,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
                     else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
         m_last, bp = pl.pallas_call(
             functools.partial(_dpf_kernel, BR=BR, delta_x=delta_x,
-                              has_rig=has_rig, H=H, f=f, L=L),
+                              has_rig=has_rig, H=H, f=f, L=L, CH=ch),
             grid=(n,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       blk, rig_spec],
@@ -1161,7 +1184,7 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
             interpret=_interpret(),
         )(sc[:, 0:1], e_tot.reshape(H, f, L), rig3)
 
-    use_btw = delta_x == 1 and _BT_WEDGE and _CHUNK % _BT_KW == 0
+    use_btw = delta_x == 1 and _BT_WEDGE and ch % _BT_KW == 0
     bwd_in = [sc, m_last, bp, b3]
     bwd_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1189,7 +1212,8 @@ def carve_step_pallas(cur_b, cur_bias, cur_rig, w, pref_left, delta_x: int,
 
     if use_btw:
         kernel = functools.partial(_btwc_kernel, BR=BR, has_bias=has_bias,
-                                   has_rig=has_rig, f=f, L=L, KW=_BT_KW)
+                                   has_rig=has_rig, f=f, L=L, KW=_BT_KW,
+                                   CH=ch)
         scratch = [pltpu.VMEM((f, L), jnp.int32),
                    pltpu.VMEM((f, L), jnp.int32)]
     else:

@@ -263,6 +263,11 @@ def test_sharded_seam_step_bias_rig(make_image):
 
 
 def test_graft_entry_dryrun():
+    # free the accumulated executable arena first: the dryrun's sharded
+    # resize is the suite's single largest compile, and XLA:CPU segfaults
+    # compiling it late in a long cold-cache pytest process (the same
+    # upstream cliff test_pallas_dp's module fixture works around)
+    jax.clear_caches()
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
