@@ -307,7 +307,6 @@ class Carver:
         k = need_depth - depth
         if k <= 0:
             return
-        self._depth_h = need_depth
         prog = self.progress
         if prog is not None:
             from .i18n import _
@@ -328,6 +327,10 @@ class Carver:
         else:
             st = eng.extend_map(self._cfg, st, jnp.int32(k))
         self._state = st
+        # mirror depth only once the device state actually holds it, so a
+        # raising extend_map / progress callback cannot leave Carver.depth,
+        # vmap_dump and the flatten guards claiming phantom seams
+        self._depth_h = need_depth
 
     def _resize_axis(self, orientation: int, target: int):
         """Resize the axis carved by the given orientation to target."""
@@ -355,6 +358,13 @@ class Carver:
             self._set_cur(orientation, pass_target)
             if pass_target == target:
                 return
+            if self.dump_vmaps:
+                # liblqr records one visibility map per resize PASS: each
+                # internal enlargement pass dumps before its flatten, and
+                # write_all_vmaps emits one layer per recorded map
+                # (/root/reference/src/io_functions.c:292-314, enabled at
+                # render.c:241, written at render.c:340-346)
+                self._record_vmap()
             self.flatten()   # restart for the next enlargement pass
 
     def _set_cur(self, orientation, v):

@@ -83,6 +83,24 @@ _USE_WEDGE = bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
 # 2048^2 prefers KW=2 (dp_pallas._BT_KW) — its (f, L) ops are 2x wider
 _BT_KW_RES = int(os.environ.get("LQR_BT_WEDGE_K_RES", "4"))
 
+_wedge_gate_noted = False
+
+
+def _note_wedge_gate_miss(CH: int):
+    """One-time trace-time note when the wedge chase is requested but the
+    CH/KW divisibility gate fails (ADVICE r4: LQR_DP_CHUNK and
+    LQR_BT_WEDGE_K_RES are independently tunable, and a mismatch silently
+    fell through to the ~40% slower generic chase loop)."""
+    global _wedge_gate_noted
+    if not _wedge_gate_noted:
+        _wedge_gate_noted = True
+        import warnings
+        warnings.warn(
+            f"lqr_tpu resident kernel: wedge backtrack disabled — chunk "
+            f"CH={CH} is not divisible by LQR_BT_WEDGE_K_RES="
+            f"{_BT_KW_RES}; falling back to the generic chase loop "
+            f"(correct but slower)", RuntimeWarning, stacklevel=3)
+
 
 def _chunk_res(H: int):
     """Rows per unrolled chunk for the resident kernel, or None.
@@ -495,6 +513,8 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
 
             recs = [None] * CH
             ges = [None] * CH
+            if delta_x == 1 and _BT_WEDGE and CH % _BT_KW_RES != 0:
+                _note_wedge_gate_miss(CH)
             if delta_x == 1 and _BT_WEDGE and CH % _BT_KW_RES == 0:
                 # roll-free WEDGE chase (the r4 law of
                 # dp_pallas._btw_kernel, ported here because this chase's

@@ -609,7 +609,12 @@ def find_seam_pallas(e_tot, rig, pref_left, delta_x: int, has_rig: bool):
     f = _fold_factor(Wb)
     BR = min(_row_block(H), 128)   # cap block VMEM footprint
     ch = _chunk_for(BR)
-    if f == 1 or BR % ch != 0:
+    # H % BR != 0: _row_block returned H itself (H not a multiple of 8)
+    # but the 128 cap re-introduced a remainder — the grid of H // BR
+    # blocks would silently drop the last H % BR rows.  dp_forward_pallas
+    # handles such shapes as a single block.  (_chunk_for always returns
+    # a divisor of BR, so no BR % ch guard is needed.)
+    if f == 1 or H % BR != 0:
         M_last, bp = dp_forward_pallas(e_tot, rig, pref_left, delta_x,
                                        has_rig)
         return backtrack_pallas(M_last, bp, pref_left, delta_x)
@@ -709,8 +714,9 @@ def fused_ok(H: int, Wb: int, delta_x: int = 1) -> bool:
     f = _fold_factor(Wb)
     if f <= 1:
         return False
-    ch = _chunk_for(min(_row_block(H), 128))
-    if min(_row_block(H), 128) % ch != 0:
+    BR = min(_row_block(H), 128)
+    ch = _chunk_for(BR)
+    if H % BR != 0:      # grid would drop the last H % BR rows
         return False
     if delta_x == 1 and _BT_WEDGE and ch % _BT_KW == 0:
         return True          # wedge backward needs no pow2 L

@@ -33,6 +33,24 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_executable_arena(request):
+    """Clear the in-memory executable caches at each module boundary.
+
+    XLA:CPU's compiler segfaults once a long pytest process has
+    accumulated enough Mosaic-interpret executables (the crash lands in
+    backend_compile_and_load / compilation_cache.get_executable_and_time).
+    Per-module clearing in conftest makes the mitigation independent of
+    file ordering (ADVICE r4: subset runs like `-k`, `--lf`, or explicit
+    two-file invocations crashed when the clearing lived inside one
+    module).  The persistent disk cache keeps recompiles cheap."""
+    mod = request.node.nodeid.split("::", 1)[0]
+    if mod != getattr(_fresh_executable_arena, "_last", None):
+        _fresh_executable_arena._last = mod
+        jax.clear_caches()
+    yield
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -16,18 +16,8 @@ from lqr_tpu.core import dp as jdp  # noqa: E402
 from lqr_tpu.ops import dp_pallas  # noqa: E402
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_executable_arena():
-    """Free accumulated jitted executables before this compile-heavy
-    module: XLA:CPU's compiler segfaults once a long pytest process has
-    accumulated enough Mosaic-interpret executables (reproducible with
-    test_carve_resident + test_fuzz_triangle ahead of this file; the
-    crash lands in backend_compile_and_load). Dropping the in-memory
-    caches resets the arena; the persistent disk cache keeps recompiles
-    cheap."""
-    import jax
-    jax.clear_caches()
-
+# executable-arena cache clearing lives in conftest.py's autouse
+# per-module fixture so it applies regardless of file ordering
 
 def _random_energy(rng, H, W, Wb):
     e = np.full((H, Wb), np.inf, np.float32)
@@ -90,6 +80,26 @@ def test_pallas_folded_path():
                                    jnp.bool_(True), 2, True))
     got = np.asarray(dp_pallas.find_seam_pallas(
         jnp.asarray(e), jnp.asarray(rig), jnp.bool_(True), 2, True))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_folded_ragged_rows():
+    """H > 128 and H not a multiple of 8 (e.g. 300): _row_block returns H,
+    the 128 cap leaves H % BR = 44 remainder rows, and the grid of H // BR
+    blocks would silently drop them (ADVICE r4 medium).  find_seam_pallas
+    must detect the shape and fall back to the single-block kernels;
+    fused_ok must reject it so Carver's escape also fires."""
+    rng = np.random.default_rng(44)
+    H, W, Wb = 300, 1000, 1024
+    from lqr_tpu.ops.dp_pallas import _fold_factor, fused_ok
+    assert _fold_factor(Wb) > 1
+    assert not fused_ok(H, Wb, 1)
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                   jnp.bool_(True), 1, False))
+    got = np.asarray(dp_pallas.find_seam_pallas(
+        jnp.asarray(e), jnp.asarray(rig), jnp.bool_(True), 1, False))
     assert np.array_equal(ref, got)
 
 
