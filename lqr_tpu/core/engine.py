@@ -282,18 +282,54 @@ def _extend_hot(cfg: EngineConfig, st: MapState, k) -> MapState:
             (st.cur_b, st.cur_bias, st.cur_rig, posmap0, st.vs, st.depth,
              jnp.int32(0)))
     else:
-        def body(c):
-            cur_b, cur_bias, cur_rig, vs, depth, done = c
-            kc = jnp.minimum(jnp.int32(KC), k - done)
-            cur_b, cur_bias, cur_rig, hist = _hot_chunk(
-                cfg, cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
-            vs = _commit_hist(vs, st.ref_w, depth, kc, hist)
-            return (cur_b, cur_bias, cur_rig, vs, depth + kc, done + kc)
+        # FLAT loop over seams (r5): the r2-r4 shape — a fori_loop of
+        # carve steps nested inside the chunk while_loop — cost ~80
+        # us/seam at 2048^2 over the same fori_loop standalone
+        # (scripts/attr2048.py: extend_nocommit 304 vs hotchunk 211
+        # us/seam; XLA copies the nested loops' plane carries at the
+        # chunk boundary buffers). One single-level while_loop carries
+        # the planes exactly once; the chunk commit rides a lax.cond
+        # that fires every KC-th seam (and on the last), so its
+        # amortized cost is unchanged.
+        H = cfg.H
+        hist0 = jnp.zeros((KC, H), jnp.int32)
 
-        cur_b, cur_bias, cur_rig, vs, depth, _ = jax.lax.while_loop(
+        def pack(b, bias, rig, rest):
+            return ((b,) + ((bias,) if cfg.has_bias else ())
+                    + ((rig,) if cfg.has_rig else ()) + rest)
+
+        def unpack(c):
+            b, rest = c[0], c[1:]
+            bias = rest[0] if cfg.has_bias else st.cur_bias
+            rest = rest[1:] if cfg.has_bias else rest
+            rig = rest[0] if cfg.has_rig else st.cur_rig
+            rest = rest[1:] if cfg.has_rig else rest
+            return b, bias, rig, rest
+
+        def body(c):
+            b, bias, rig, (vs, hist, depth, done) = unpack(c)
+            j = done % jnp.int32(KC)              # row within the chunk
+            seam, b, bias, rig = _carve_once(cfg, b, bias, rig,
+                                             st.ref_w - depth, depth + 1)
+            hist = jax.lax.dynamic_update_slice(hist, seam[None], (j, 0))
+            depth = depth + 1
+            done = done + 1
+            kc = j + 1                            # seams in this chunk
+
+            def commit(vh):
+                v, h = vh
+                return _commit_hist(v, st.ref_w, depth - kc, kc, h), h
+
+            vs, hist = jax.lax.cond(
+                (kc == KC) | (done >= k), commit, lambda vh: vh,
+                (vs, hist))
+            return pack(b, bias, rig, (vs, hist, depth, done))
+
+        out = jax.lax.while_loop(
             cond, body,
-            (st.cur_b, st.cur_bias, st.cur_rig, st.vs, st.depth,
-             jnp.int32(0)))
+            pack(st.cur_b, st.cur_bias, st.cur_rig,
+                 (st.vs, hist0, st.depth, jnp.int32(0))))
+        cur_b, cur_bias, cur_rig, (vs, _, depth, _) = unpack(out)
     return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
                        cur_rig=cur_rig, depth=depth)
 

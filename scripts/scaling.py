@@ -232,8 +232,11 @@ def main():
         jnp.full((2,), cseams, jnp.int32)).compile()
     colls_cs = _collectives(comp_cs.as_text())
     R = _block_rows(384, 1, 512 // n_cols)
-    per_block = colls_cs.get("collective-permute", 0)
-    executed = per_block * (384 // R)         # static permutes x blocks
+    static_p = colls_cs.get("collective-permute", 0)
+    # r5 layout (_carve_seam_local): exactly 2 static permutes live in the
+    # per-block DP scan (executed H/R times per seam); every other static
+    # permute (energy halo pair + compact carry) executes once per seam
+    executed = 2 * (384 // R) + max(static_p - 2, 0)
     print(json.dumps({
         "metric": "column_sharded_multiseam_resize",
         "value": round(t_cs / cseams * 1e3, 3),
@@ -241,7 +244,7 @@ def main():
         "vs_baseline": None,
         "seams": cseams, "images": 2, "size": "512x384",
         "n_cols": n_cols, "block_rows": R,
-        "permutes_in_compiled_body": per_block,
+        "permutes_in_compiled_body": static_p,
         "collective_permutes_executed_per_seam": executed,
         "per_row_design_executed": 2 * (384 - 1),
         "reduction_x": round(2 * 383 / max(executed, 1), 1),

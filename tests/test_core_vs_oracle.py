@@ -102,6 +102,20 @@ def test_vs_map_matches_oracle(make_image, nrg, delta_x):
         assert np.all((vs_np == s).sum(axis=1) == 1)
 
 
+def test_vs_map_multi_chunk_matches_oracle(make_image):
+    """k > KC crosses a chunk-commit boundary inside the flat while loop
+    (r5: the commit rides a lax.cond every KC-th seam and hist rows are
+    REUSED across chunks — stale rows must stay masked)."""
+    from lqr_tpu.core.engine import KC
+    img = make_image(h=12, w=KC + 40)
+    n = KC + 17
+    vs_np = oracle.compute_vs_map(img, n)
+    cfg = make_cfg(img)
+    st = init_state(cfg, img)
+    st = extend_map(cfg, st, jnp.int32(n))
+    assert np.array_equal(np.asarray(st.vs)[:, :KC + 40], vs_np)
+
+
 def test_vs_map_with_bias_and_rig(make_image, rng):
     img = make_image(h=18, w=26)
     bias = (rng.standard_normal((18, 26)) * 0.5).astype(np.float32)

@@ -167,6 +167,34 @@ def test_sharded_dp_delta2_rig():
         assert np.array_equal(ref, got)
 
 
+def test_sharded_dp_pallas_block_bit_exact():
+    """The per-shard Pallas block DP (ops.dp_block, VERDICT r4 #3) in
+    interpret mode must match both the pure-JAX sharded path and the
+    unsharded scan, including rigidity and both side preferences."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import os
+    os.environ["LQR_PALLAS_INTERPRET"] = "1"
+    rng = np.random.default_rng(17)
+    H, Wb = 32, 1024
+    e = rng.random((H, Wb), dtype=np.float32)
+    e = np.round(e * 8) / 8
+    rig = np.abs(rng.standard_normal((H, Wb))).astype(np.float32)
+    mesh = make_mesh(8, data=1)
+    for pref, dx, hr in ((True, 1, False), (False, 1, True),
+                         (True, 2, True)):
+        ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                       jnp.bool_(pref), dx, hr))
+        scan = np.asarray(find_seam_sharded(
+            mesh, jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref), dx,
+            hr, use_pallas=False))
+        got = np.asarray(find_seam_sharded(
+            mesh, jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref), dx,
+            hr, use_pallas=True))
+        assert np.array_equal(ref, scan), (pref, dx, hr)
+        assert np.array_equal(ref, got), (pref, dx, hr)
+
+
 def test_data_parallel_product_path(make_image):
     """The REAL resize hot loop (extend_map_batched) sharded over 'data':
     seam maps must be bitwise invariant to the sharding (VERDICT r1 #1)."""
