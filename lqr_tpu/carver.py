@@ -322,15 +322,20 @@ class Carver:
                     continue
                 st = eng.extend_map(self._cfg, st, jnp.int32(step))
                 done += step
+                # publish state + depth per completed chunk: a raising
+                # progress callback (or a later extend failure) then
+                # leaves the carver consistent at chunk granularity
+                # (ADVICE r4: the old code claimed the FINAL depth before
+                # any carving ran), and extend_map's donated input is
+                # always an already-superseded state
+                self._state = st
+                self._depth_h = depth + done
                 prog.update(done / k)
             prog.end()
         else:
             st = eng.extend_map(self._cfg, st, jnp.int32(k))
-        self._state = st
-        # mirror depth only once the device state actually holds it, so a
-        # raising extend_map / progress callback cannot leave Carver.depth,
-        # vmap_dump and the flatten guards claiming phantom seams
-        self._depth_h = need_depth
+            self._state = st
+            self._depth_h = need_depth
 
     def _resize_axis(self, orientation: int, target: int):
         """Resize the axis carved by the given orientation to target."""

@@ -71,17 +71,18 @@ from .dp_pallas import (_shift_folded, _shift_stack, _rank_consts,
 # so flipping them mid-process would silently run stale kernels — and
 # NO_BP / NO_ENERGY intentionally produce WRONG results for perf
 # decomposition). Single-shot semantics: set before importing lqr_tpu.
-_FWD_ONLY = bool(os.environ.get("LQR_RESIDENT_FWD_ONLY"))
-_NO_BP = bool(os.environ.get("LQR_RESIDENT_NO_BP"))
-_NO_ENERGY = bool(os.environ.get("LQR_RESIDENT_NO_ENERGY"))
-_KW = int(os.environ.get("LQR_WEDGE_K", "4"))
-_USE_WEDGE = bool(int(os.environ.get("LQR_FWD_WEDGE", "1")))
+from .tune import TUNE
+_FWD_ONLY = TUNE.resident_fwd_only
+_NO_BP = TUNE.resident_no_bp
+_NO_ENERGY = TUNE.resident_no_energy
+_KW = TUNE.wedge_k
+_USE_WEDGE = TUNE.fwd_wedge
 # backward-chase wedge block size for THIS kernel: at resident fold
 # sizes ((f, L) of 2-4 sublane tiles) the copy-rebuild amortization wins
 # over the issue growth up to KW=4 (v5e A/B at 512x384: KW=2 36.4,
 # KW=4 32.1, KW=8 37.3 us/seam), while the non-resident backtrack at
 # 2048^2 prefers KW=2 (dp_pallas._BT_KW) — its (f, L) ops are 2x wider
-_BT_KW_RES = int(os.environ.get("LQR_BT_WEDGE_K_RES", "4"))
+_BT_KW_RES = TUNE.bt_kw_res
 
 _wedge_gate_noted = False
 
@@ -120,22 +121,13 @@ def _chunk_res(H: int):
 
 
 def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
-    """(f, L, guard) fold layout for the resident kernel, or None.
+    """(f, L) fold layout for the resident kernel, or None.
 
-    Exact fold: f = Wb/128, L = 128, guard=False (DP shifts carry the
-    out-of-range +inf fill select).
-
-    A GUARD layout (f = Wb/128 + 1: an extra 128-lane fold so every live
-    column sits strictly below W = f*L and the DP shifts can drop the
-    +inf fill select — wraps then only land at x >= w where M = +inf via
-    the energy width mask) was tried and ABANDONED: the odd fold factors
-    it produces (e.g. f=5 at Wb=512) hit a Mosaic compile pathology
-    (>570 s, never completed on v5e), and the projected win was marginal
-    anyway (the select removal on the two chain shifts is offset by +1/f
-    growth of every batched stack op). The guard plumbing (pad/unpad,
-    edge=not guard) is kept so the experiment is one line to re-run —
-    consequently pad is CURRENTLY ALWAYS 0 and guard always False (this
-    function only ever returns (Wb//128, 128, False)).
+    Exact fold: f = Wb/128, L = 128; the DP shifts carry the out-of-range
+    +inf fill select. (Measured negative, r4: a padded GUARD layout with
+    f = Wb/128 + 1 — dropping that select — hit a Mosaic compile
+    pathology at odd fold factors (>570 s at f=5) for a marginal
+    projected win; its plumbing was removed in r5.)
     """
     if Wb % 128 != 0 or _chunk_res(H) is None:
         return None
@@ -147,7 +139,7 @@ def _layout(H: int, Wb: int, has_bias: bool, has_rig: bool):
     vmem = H * f * 128 * (4 * planes + 1) + 2 * H * 128 * 4
     if vmem > (14 << 20):                        # 16 MB/core - pipeline
         return None
-    return f, 128, False
+    return f, 128
 
 
 def resident_ok(H: int, Wb: int, has_bias: bool, has_rig: bool,
@@ -184,7 +176,7 @@ def _energy_stack(bst, b_up, b_dn, w, nrg: int, f: int, L: int,
 
 
 def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
-            guard, CH):
+            CH):
     """Grid-stepped multi-seam kernel: grid = (KC,), one seam per step.
 
     A gridless variant (single invocation, dynamic fori over seams,
@@ -651,18 +643,8 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     resident_ok.
     """
     H, Wb = cur_b.shape
-    f, L, guard = _layout(H, Wb, has_bias, has_rig)
-    pad = f * L - Wb
-    if pad:
-        def pz(a):
-            return jnp.concatenate(
-                [a, jnp.zeros((H, pad), a.dtype)], axis=1)
-
-        cur_b, posmap = pz(cur_b), pz(posmap)
-        if has_bias:
-            cur_bias = pz(cur_bias)
-        if has_rig:
-            cur_rig = pz(cur_rig)
+    f, L = _layout(H, Wb, has_bias, has_rig)
+    assert f * L == Wb, (f, L, Wb)    # _layout only folds exact multiples
     sc = jnp.stack([jnp.asarray(w0, jnp.int32), jnp.asarray(d0, jnp.int32),
                     jnp.asarray(kc, jnp.int32)]).reshape(1, 3)
 
@@ -701,7 +683,7 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     outs = pl.pallas_call(
         functools.partial(_kernel, KC=KC, delta_x=delta_x,
                           has_bias=has_bias, has_rig=has_rig, nrg=nrg,
-                          ssf=ssf, H=H, f=f, L=L, guard=guard,
+                          ssf=ssf, H=H, f=f, L=L,
                           CH=_chunk_res(H)),
         grid=(KC,),
         in_specs=in_specs,
@@ -715,18 +697,18 @@ def carve_chunk_resident(cur_b, cur_bias, cur_rig, posmap, w0, d0, kc,
     # seam rows were recorded fold-reduced: one nonzero = ref column + 1
     hist = jnp.sum(outs[0], axis=2, dtype=jnp.int32) - 1
 
-    def unpad(o):
-        return o.reshape(H, f * L)[:, :Wb]
+    def unfold(o):
+        return o.reshape(H, Wb)
 
-    b_out = unpad(outs[1])
+    b_out = unfold(outs[1])
     k = 2
     bias_out = cur_bias
     rig_out = cur_rig
     if has_bias:
-        bias_out = unpad(outs[k])
+        bias_out = unfold(outs[k])
         k += 1
     if has_rig:
-        rig_out = unpad(outs[k])
+        rig_out = unfold(outs[k])
         k += 1
-    pm_out = unpad(outs[k])
+    pm_out = unfold(outs[k])
     return hist, b_out, bias_out, rig_out, pm_out

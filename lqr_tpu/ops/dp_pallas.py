@@ -317,10 +317,11 @@ def _shift_stack(M, d: int, fill, f: int, L: int, lane, glane_row,
 # chunks help until compile-size/issue effects bite; the optimum is
 # size-dependent (v5e devtime A/B, r4): 16 wins at 2048^2 (318 -> 284
 # us/seam; 32 regresses), while the VMEM-resident kernel prefers 64
-# (see carve_resident._chunk_res). LQR_DP_CHUNK overrides for
-# experiments (read once at import).
-_CHUNK_ENV = os.environ.get("LQR_DP_CHUNK")
-_CHUNK = int(_CHUNK_ENV) if _CHUNK_ENV else 16
+# (see carve_resident._chunk_res). TUNE.dp_chunk overrides for
+# experiments (ops.tune — the one knob surface, read once at import).
+from .tune import TUNE
+_CHUNK_ENV = TUNE.dp_chunk
+_CHUNK = _CHUNK_ENV if _CHUNK_ENV else 16
 
 
 def _chunk_for(rows: int) -> int:
@@ -337,16 +338,13 @@ def _chunk_for(rows: int) -> int:
             return c
     return rows
 
-# Forward-wedge kill switch. Read ONCE at import (ADVICE r3 #4: knobs
-# read at trace time inside jitted kernels do not invalidate the jit
-# cache, so mid-process changes silently run stale kernels; import-time
-# reads make the single-shot semantics explicit).
-_FWD_WEDGE = os.environ.get("LQR_FWD_WEDGE", "1") != "0"
+# Forward-wedge kill switch (ops.tune: read once at import).
+_FWD_WEDGE = TUNE.fwd_wedge
 
 # backpointer dtype of the folded kernels: |dx| <= 10 fits int8, which
-# quarters the DP's store + backtrack's load traffic (env knob for
+# quarters the DP's store + backtrack's load traffic (TUNE.bp_i32 for
 # experiments / fallback)
-_BP_DT = jnp.int32 if os.environ.get("LQR_BP_I32") == "1" else jnp.int8
+_BP_DT = jnp.int32 if TUNE.bp_i32 else jnp.int8
 
 
 def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
@@ -520,11 +518,10 @@ def _btf_kernel(pl_ref, m_ref, bp_ref, seam_ref, oh_scr, *, BR, delta_x,
 # permutation pi_t, and pi_t(a*b) = pi_t(a)*pi_t(b), pi_e(pi_d(x)) =
 # pi_{e+d}(x), so P_e == pi_e(oh) holds inductively, bit-exactly; the
 # consumed oh is the exact walk (the walker provably never wraps: a wrap
-# would need a backpointer crossing the DP's +inf guard). Env knob (read
-# ONCE at import — changing it mid-process cannot invalidate jit caches,
-# see ADVICE r3): LQR_BT_WEDGE=0 disables, LQR_BT_WEDGE_K sets KW.
-_BT_WEDGE = os.environ.get("LQR_BT_WEDGE", "1") != "0"
-_BT_KW = int(os.environ.get("LQR_BT_WEDGE_K", "2"))
+# would need a backpointer crossing the DP's +inf guard). Knobs in
+# ops.tune (read once at import): bt_wedge disables, bt_kw sets KW.
+_BT_WEDGE = TUNE.bt_wedge
+_BT_KW = TUNE.bt_kw
 
 
 def _btw_kernel(pl_ref, m_ref, bp_ref, rec_ref, oh_scr, *, BR, f, L, KW,

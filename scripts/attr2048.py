@@ -141,6 +141,8 @@ def main():
         fetch(o)
         return time.perf_counter() - t0
 
+    import os as _os
+    sel = _os.environ.get("ATTR_VARIANTS")
     variants = [
         ("hotchunk",       dict()),
         ("extend",         dict(state=True)),
@@ -148,6 +150,9 @@ def main():
         ("extend_nocommit", dict(state=True)),
         ("extend_donate",  dict(state=True)),
     ]
+    if sel:
+        want = sel.split(",")
+        variants = [v for v in variants if v[0] in want]
     fns = dict(raw_static=raw_static, raw_dyn=raw_dyn, hist=hist_v,
                hotchunk=hotchunk, extend=extend,
                extend_nowhile=extend_nowhile,
