@@ -33,8 +33,8 @@ def _load():
     _BUILD.mkdir(parents=True, exist_ok=True)
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         proc = subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(_SRC),
-             "-lz"],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", str(_SO),
+             str(_SRC), "-lz"],
             capture_output=True, text=True)
         if proc.returncode != 0:
             raise NativeCodecError(
@@ -69,6 +69,10 @@ def _load():
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_float, f32p, ctypes.c_int,
                                    ctypes.c_int]
+    lib.lqr_stage_wave.restype = None
+    lib.lqr_stage_wave.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ip, ip, ctypes.c_int,
+                                   u8p, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -131,6 +135,31 @@ def interleave(planes: np.ndarray) -> np.ndarray:
     c, h, w = planes.shape
     out = np.empty((h, w, c), np.uint8)
     lib.lqr_interleave(_u8p(planes), h, w, c, _u8p(out))
+    return out
+
+
+def stage_wave(base: np.ndarray, dys, dxs, out_h: int, out_w: int,
+               out: np.ndarray | None = None) -> np.ndarray:
+    """Synthesize a wave of cyclically rolled copies of ``base`` directly
+    into a zero-padded [n, out_h, out_w, c] u8 batch buffer (the cfg4/cfg5
+    staging path — one host touch per byte, two C++ threads)."""
+    lib = _load()
+    base = np.ascontiguousarray(base, np.uint8)
+    if base.ndim == 2:
+        base = base[:, :, None]
+    h, w, c = base.shape
+    dys = np.ascontiguousarray(dys, np.int32)
+    dxs = np.ascontiguousarray(dxs, np.int32)
+    n = len(dys)
+    assert len(dxs) == n and out_h >= h and out_w >= w
+    if out is None:
+        out = np.empty((n, out_h, out_w, c), np.uint8)
+    else:
+        assert out.shape == (n, out_h, out_w, c) and out.dtype == np.uint8
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.lqr_stage_wave(_u8p(base), h, w, c,
+                       dys.ctypes.data_as(ip), dxs.ctypes.data_as(ip), n,
+                       _u8p(out), out_h, out_w)
     return out
 
 

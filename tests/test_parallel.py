@@ -167,6 +167,25 @@ def test_sharded_dp_delta2_rig():
         assert np.array_equal(ref, got)
 
 
+def test_batch_prestacked_zero_copy_path(make_image):
+    """BatchCarver's pre-stacked [B, H, W, C] ndarray input (the native
+    stage_wave handoff, VERDICT r4 #5) must carve identically to the
+    list path — including the W == Wb zero-copy case (W=128) and the
+    padded case (W=100)."""
+    from lqr_tpu.utils import codec
+    rng = np.random.default_rng(11)
+    for W in (128, 100):
+        base = np.asarray(make_image(h=16, w=W))
+        dys = np.arange(4, dtype=np.int32)
+        arr = codec.stage_wave(base, dys, 2 * dys, 16, W)
+        bc_a = BatchCarver(arr)
+        bc_b = BatchCarver([arr[i] for i in range(4)])
+        bc_a.carve(5)
+        bc_b.carve(5)
+        assert np.array_equal(np.asarray(bc_a.state.vs),
+                              np.asarray(bc_b.state.vs)), W
+
+
 def test_sharded_dp_pallas_block_bit_exact():
     """The per-shard Pallas block DP (ops.dp_block, VERDICT r4 #3) in
     interpret mode must match both the pure-JAX sharded path and the
