@@ -209,8 +209,11 @@ def _commit_hist(vs, ref_w, d0, kc, hist):
 # materialize KC*H*Wb bytes (~800 MB at cfg3 scale) — an OOM cliff with
 # no in-code guard. Above this many H*Wb elements the reduce runs in
 # KC/8-row slabs (bit-identical: slab sums hit disjoint columns), which
-# bounds even a fully materialized intermediate to ~1/8th.
-_COMMIT_SLAB_ELEMS = 2 << 20
+# bounds even a fully materialized intermediate to ~1/8th. The threshold
+# sits just above the 2048^2 flagship (4.2M elements, 537 MB worst-case
+# — safe in 16 GB HBM) so the primary config keeps the single fused
+# reduce; cfg3-scale maps (2048x3072 = 6.3M) take the guard.
+_COMMIT_SLAB_ELEMS = 5 << 20
 _COMMIT_SLABS = 8
 
 

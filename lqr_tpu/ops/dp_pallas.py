@@ -340,6 +340,7 @@ def _chunk_for(rows: int) -> int:
 
 # Forward-wedge kill switch (ops.tune: read once at import).
 _FWD_WEDGE = TUNE.fwd_wedge
+_FWD_KW = TUNE.fwd_kw
 
 # backpointer dtype of the folded kernels: |dx| <= 10 fits int8, which
 # quarters the DP's store + backtrack's load traffic (TUNE.bp_i32 for
@@ -406,7 +407,7 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
     # only min,min,add (a chained cross-lane roll costs ~50-70 ns on
     # v5e vs ~2.5 ns for min/add, and the sweep is latency-bound).
     # Exact: shift_d distributes elementwise over min and +.
-    KW = 4
+    KW = _FWD_KW
 
     def chunk_fn_wedge(k, M_prev):
         base = k * CH

@@ -15,6 +15,8 @@ and regression bisection — production code never needs to set any.
 |----------------------|---------------------|---------|----------------|
 | LQR_FWD_WEDGE        | fwd_wedge           | 1       | roll-free wedge
 |                      |                     |         | forward DP     |
+| LQR_FWD_WEDGE_K      | fwd_kw              | 4       | wedge band,    |
+|                      |                     |         | streamed fwd   |
 | LQR_BT_WEDGE         | bt_wedge            | 1       | roll-free wedge
 |                      |                     |         | backtrack      |
 | LQR_BT_WEDGE_K       | bt_kw               | 2       | wedge band,    |
@@ -46,6 +48,7 @@ import os
 @dataclasses.dataclass(frozen=True)
 class Tune:
     fwd_wedge: bool
+    fwd_kw: int
     bt_wedge: bool
     bt_kw: int
     bt_kw_res: int
@@ -62,6 +65,7 @@ def _from_env() -> Tune:
     chunk = env("LQR_DP_CHUNK")
     return Tune(
         fwd_wedge=env("LQR_FWD_WEDGE", "1") != "0",
+        fwd_kw=int(env("LQR_FWD_WEDGE_K", "4")),
         bt_wedge=env("LQR_BT_WEDGE", "1") != "0",
         bt_kw=int(env("LQR_BT_WEDGE_K", "2")),
         bt_kw_res=int(env("LQR_BT_WEDGE_K_RES", "4")),

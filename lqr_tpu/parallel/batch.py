@@ -93,42 +93,75 @@ def extend_map_batched(cfg: EngineConfig, st: MapState, k,
                        heights=None, rigc=None) -> MapState:
     """Carve k[b] further seams into each image's map.
 
-    Same chunked hot path as the single-image ``extend_map`` (seam history
-    committed to vs per chunk), with per-image seam counts masked inside
-    the chunk loop. heights: [B] i32 true heights (None = all rows real);
-    rigc: [B, delta_x + 1] f32 per-image rigidity coefficients (required
-    with heights + cfg.has_rig; see ``rigc_table``)."""
-    k = jnp.asarray(k, jnp.int32)
+    FLAT single-level loop over seams (r5, mirroring engine._extend_hot):
+    the r2-r4 vmapped-fori-inside-while nesting cost ~80 us/seam of plane
+    carry copies at big sizes (scripts/attr2048.py). Per-image seam
+    counts are masked per step; the chunk commit rides a lax.cond every
+    KC-th step with per-image chunk depths (images that exhausted their
+    k simply stop accumulating — their chunk kc is smaller).
 
+    heights: [B] i32 true heights (None = all rows real); rigc:
+    [B, delta_x + 1] f32 per-image rigidity coefficients (required with
+    heights + cfg.has_rig; see ``rigc_table``)."""
+    k = jnp.asarray(k, jnp.int32)
     kmax = jnp.max(k)
+    B, H = st.vs.shape[0], cfg.H
+    KC = eng.KC
+    hist0 = jnp.zeros((B, KC, H), jnp.int32)
+    hh = None if heights is None else jnp.asarray(heights, jnp.int32)
+    rc = (rigc if rigc is not None
+          else (None if heights is None
+                else jnp.zeros((B, cfg.delta_x + 1), jnp.float32)))
+
+    def carve(cb, cbs, crg, w_i, s_i, *extra):
+        h_i, rv_i = extra if heights is not None else (None, None)
+        return eng._carve_once(cfg, cb, cbs, crg, w_i, s_i,
+                               h=h_i, rigc_vec=rv_i)
 
     def cond(c):
         return c[-1] < kmax
 
     def body(c):
-        cur_b, cur_bias, cur_rig, vs, depth, done = c
-        kc = jnp.clip(k - done, 0, eng.KC)     # [B] seams this chunk
-        if heights is None:
-            cur_b, cur_bias, cur_rig, hist = jax.vmap(
-                lambda cb, cbs, crg, rw, d, kk: eng._hot_chunk(
-                    cfg, cb, cbs, crg, rw, d, kk)
-            )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc)
-        else:
-            rc = (rigc if rigc is not None
-                  else jnp.zeros((heights.shape[0], cfg.delta_x + 1),
-                                 jnp.float32))
-            cur_b, cur_bias, cur_rig, hist = jax.vmap(
-                lambda cb, cbs, crg, rw, d, kk, hh, rv: eng._hot_chunk(
-                    cfg, cb, cbs, crg, rw, d, kk, h=hh, rigc_vec=rv)
-            )(cur_b, cur_bias, cur_rig, st.ref_w, depth, kc,
-              jnp.asarray(heights, jnp.int32), rc)
-        vs = jax.vmap(eng._commit_hist)(vs, st.ref_w, depth, kc, hist)
-        return (cur_b, cur_bias, cur_rig, vs, depth + kc,
-                done + jnp.int32(eng.KC))
+        cur_b, cur_bias, cur_rig, vs, hist, depth, chunk_d0, done = c
+        j = done % jnp.int32(KC)
+        active = done < k                                       # [B]
+        args = (cur_b, cur_bias, cur_rig, st.ref_w - depth, depth + 1)
+        if heights is not None:
+            args = args + (hh, rc)
+        seam, b2, bias2, rig2 = jax.vmap(carve)(*args)
 
-    cur_b, cur_bias, cur_rig, vs, depth, _ = jax.lax.while_loop(
+        def upd(new, old):
+            return jnp.where(active[:, None, None], new, old)
+
+        cur_b = upd(b2, cur_b)
+        if cfg.has_bias:
+            cur_bias = upd(bias2, cur_bias)
+        if cfg.has_rig:
+            cur_rig = upd(rig2, cur_rig)
+        hist = jax.lax.dynamic_update_slice(hist, seam[:, None, :],
+                                            (0, j, 0))
+        depth = depth + active.astype(jnp.int32)
+        done = done + 1
+
+        def commit(vh):
+            v, h_ = vh
+            kc_b = depth - chunk_d0          # per-image seams this chunk
+            return jax.vmap(eng._commit_hist)(v, st.ref_w, chunk_d0,
+                                              kc_b, h_), h_
+
+        commit_now = (j + 1 == KC) | (done >= kmax)
+        vs, hist = jax.lax.cond(commit_now, commit, lambda vh: vh,
+                                (vs, hist))
+        chunk_d0 = jnp.where(commit_now, depth, chunk_d0)
+        return (cur_b, cur_bias, cur_rig, vs, hist, depth, chunk_d0,
+                done)
+
+    out = jax.lax.while_loop(
         cond, body,
-        (st.cur_b, st.cur_bias, st.cur_rig, st.vs, st.depth, jnp.int32(0)))
+        (st.cur_b, st.cur_bias, st.cur_rig, st.vs, hist0, st.depth,
+         st.depth, jnp.int32(0)))
+    cur_b, cur_bias, cur_rig, vs = out[0], out[1], out[2], out[3]
+    depth = out[5]
     return st._replace(vs=vs, cur_b=cur_b, cur_bias=cur_bias,
                        cur_rig=cur_rig, depth=depth)
 
