@@ -7,9 +7,12 @@ as a pure-JAX ``fori_loop`` over rows — on real multi-chip TPU each shard
 would carve at the slow-path rate, wasting the single-chip Pallas work.
 This kernel is the per-shard hot path: ONE ``pallas_call`` per (block,
 seam) runs the R sequential rows inside VMEM, with the same min-tree +
-rank-ordered-equality update as ``dp_pallas._dp_kernel`` — bit-identical
+rank-ordered-equality update as ``dp_pallas._dpf_kernel`` — bit-identical
 to ``core.dp.dp_forward`` restricted to the slab (reference hot loop:
-/root/reference/src/render.c:318).
+/root/reference/src/render.c:318).  The layout mirrors the proven
+``_dpf_kernel`` exactly: the extended width folds into [f, 128] and
+backpointers are stored in CH-row chunks (a Mosaic-supported int8 store
+shape; per-row [1, We] int8 stores are rejected on hardware).
 
 Contract:
 - ``m0``: [We] f32 initial frontier (the halo-extended frontier after the
@@ -35,12 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dp_pallas import _rank_consts, _shift, _interpret
+from .dp_pallas import _rank_consts, _shift_folded, _interpret
 
 
 def _dpb_kernel(sc_ref, m0_ref, e_ref, rig_ref, m_ref, bp_ref, *, R,
-                delta_x, has_rig, H):
-    """grid=(1,): R sequential DP rows from an explicit initial frontier.
+                delta_x, has_rig, H, f, L, CH):
+    """grid=(1,): R sequential DP rows from an explicit initial frontier,
+    folded layout [f, L], backpointers stored per CH-row chunk.
 
     sc_ref (SMEM [1, 2]): [pref_left, first_block]."""
     pref_left = sc_ref[0, 0] != 0
@@ -48,31 +52,38 @@ def _dpb_kernel(sc_ref, m0_ref, e_ref, rig_ref, m_ref, bp_ref, *, R,
     inf = jnp.float32(jnp.inf)
     cands = _rank_consts(delta_x, H)
 
-    def row_fn(r, M_prev):
-        e_row = e_ref[pl.ds(r, 1), :]
-        best = jnp.full(M_prev.shape, inf, jnp.float32)
-        best_rank = jnp.full(M_prev.shape, 127, jnp.int32)
-        bp = jnp.zeros(M_prev.shape, jnp.int32)
-        if has_rig:
-            rig_row = rig_ref[pl.ds(r, 1), :]
-        for dx, rl, rr, rigc in cands:
-            c = _shift(M_prev, dx, inf)
-            if has_rig and dx != 0:
-                c = c + rig_row * rigc
-            rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
-            take = (c < best) | ((c == best) & (rank < best_rank))
-            best = jnp.where(take, c, best)
-            best_rank = jnp.where(take, rank, best_rank)
-            bp = jnp.where(take, jnp.int32(dx), bp)
-        # global row 0 of the image has no predecessor row
-        row0 = first & (r == 0)
-        m_row = jnp.where(row0, e_row, e_row + best)
-        bp = jnp.where(row0, jnp.int32(0), bp)
-        bp_ref[pl.ds(r, 1), :] = bp.astype(jnp.int8)
-        return m_row
+    def chunk_fn(k, M_prev):
+        base = pl.multiple_of(k * CH, CH)
+        e_chunk = e_ref[pl.ds(base, CH)]
+        rig_chunk = rig_ref[pl.ds(base, CH)] if has_rig else None
+        bps = []
+        for j in range(CH):
+            e_row = e_chunk[j]
+            best = jnp.full((f, L), inf, jnp.float32)
+            best_rank = jnp.full((f, L), 127, jnp.int32)
+            bp = jnp.zeros((f, L), jnp.int32)
+            for dx, rl, rr, rigc in cands:
+                c = _shift_folded(M_prev, dx, inf, f, L)
+                if has_rig and dx != 0:
+                    c = c + rig_chunk[j] * rigc
+                rank = jnp.where(pref_left, jnp.int32(rl), jnp.int32(rr))
+                take = (c < best) | ((c == best) & (rank < best_rank))
+                best = jnp.where(take, c, best)
+                best_rank = jnp.where(take, rank, best_rank)
+                bp = jnp.where(take, jnp.int32(dx), bp)
+            m_row = e_row + best
+            if j == 0:
+                # global row 0 of the image has no predecessor row
+                row0 = first & (k == 0)
+                m_row = jnp.where(row0, e_row, m_row)
+                bp = jnp.where(row0, jnp.int32(0), bp)
+            bps.append(bp)
+            M_prev = m_row
+        bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(jnp.int8)
+        return M_prev
 
-    M_final = jax.lax.fori_loop(0, R, row_fn, m0_ref[0:1, :])
-    m_ref[0:1, :] = M_final
+    M_final = jax.lax.fori_loop(0, R // CH, chunk_fn, m0_ref[:, :])
+    m_ref[:, :] = M_final
 
 
 @functools.partial(jax.jit, static_argnames=("delta_x", "has_rig", "R",
@@ -82,31 +93,34 @@ def dp_block_pallas(m0, e_ext, rig_ext, pref_left, first, delta_x: int,
     """One halo-extended DP block on a shard's slab (see module doc)."""
     We = e_ext.shape[-1]
     assert We % 128 == 0, We
+    f, L = We // 128, 128
+    CH = 8 if R % 8 == 0 else R
     if rig_ext is None:
         assert not has_rig
         rig_ext = jnp.zeros((1, We), jnp.float32)
     sc = jnp.stack([jnp.asarray(pref_left, jnp.int32),
                     jnp.asarray(first, jnp.int32)]).reshape(1, 2)
-    rig_spec = (pl.BlockSpec((R, We), lambda: (0, 0)) if has_rig
-                else pl.BlockSpec((1, We), lambda: (0, 0)))
+    rig_spec = (pl.BlockSpec((R, f, L), lambda i: (0, 0, 0)) if has_rig
+                else pl.BlockSpec((1, f, L), lambda i: (0, 0, 0)))
     m_out, bp = pl.pallas_call(
         functools.partial(_dpb_kernel, R=R, delta_x=delta_x,
-                          has_rig=has_rig, H=H),
-        grid=(),
+                          has_rig=has_rig, H=H, f=f, L=L, CH=CH),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, We), lambda: (0, 0)),
-            pl.BlockSpec((R, We), lambda: (0, 0)),
+            pl.BlockSpec((f, L), lambda i: (0, 0)),
+            pl.BlockSpec((R, f, L), lambda i: (0, 0, 0)),
             rig_spec,
         ],
         out_specs=(
-            pl.BlockSpec((1, We), lambda: (0, 0)),
-            pl.BlockSpec((R, We), lambda: (0, 0)),
+            pl.BlockSpec((f, L), lambda i: (0, 0)),
+            pl.BlockSpec((R, f, L), lambda i: (0, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, We), jnp.float32),
-            jax.ShapeDtypeStruct((R, We), jnp.int8),
+            jax.ShapeDtypeStruct((f, L), jnp.float32),
+            jax.ShapeDtypeStruct((R, f, L), jnp.int8),
         ),
         interpret=_interpret(),
-    )(sc, m0.reshape(1, We), e_ext, rig_ext)
-    return m_out[0], bp
+    )(sc, m0.reshape(f, L), e_ext.reshape(R, f, L), rig_ext.reshape(
+        -1, f, L))
+    return m_out.reshape(We), bp.reshape(R, We)
