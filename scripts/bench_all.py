@@ -317,9 +317,14 @@ def config4(report, n_images=4096, wave=256, seams=256):
     waves = max(1, n_images // wave)
     done = 0
     carve_s = 0.0
-    ex = ThreadPoolExecutor(2)
+    # ONE staging worker, TWO waves queued ahead: prefetch depth 2 without
+    # a second host thread. (Measured r5: two CONCURRENT staging threads
+    # starve this 2-core host's timing thread and queue 1.6 GB of relay
+    # puts ahead of the carve-completion fetches — carve_s inflated 5x,
+    # 352 s vs the uncontended 67 s for the same 16 waves.)
+    ex = ThreadPoolExecutor(1)
     t_all = time.perf_counter()
-    futs = deque(ex.submit(stage, wv, wave)       # 2 waves in flight
+    futs = deque(ex.submit(stage, wv, wave)
                  for wv in range(min(2, waves)))
     next_wv = len(futs)
     for wv in range(waves):
@@ -369,11 +374,11 @@ def config4(report, n_images=4096, wave=256, seams=256):
            relay_put_s_per_wave=round(t_put, 2),
            wave_mb=round(arr.nbytes / 1e6, 1),
            host_prep_note="staging runs through the native codec "
-           "(codec.stage_wave, one host touch per byte) on 2 pipeline "
-           "threads overlapped 2 waves deep; the residual end-to-end "
-           "wall over carve_s is the measured relay_put_s_per_wave x "
-           "waves — tunnel transfer bandwidth, not engine or host-prep "
-           "time (real deployments stream from storage at NIC rates)")
+           "(codec.stage_wave, one host touch per byte) on one pipeline "
+           "worker queued 2 waves deep; the residual end-to-end wall "
+           "over carve_s is the measured relay_put_s_per_wave x waves "
+           "— tunnel transfer bandwidth, not engine or host-prep time "
+           "(real deployments stream from storage at NIC rates)")
 
 
 def config5(report, n_frames=300):
