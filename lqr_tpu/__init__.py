@@ -23,7 +23,7 @@ from .errors import LqrError, LqrConfigError, LqrImageError, LqrStateError
 from .masks import colour_from_type, new_mask_layer, edit_mask
 from .preview import preview
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "LqrConfig", "SeamColors", "EnergyFunc", "ResizeOrder", "OutputTarget",
