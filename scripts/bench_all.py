@@ -450,6 +450,13 @@ def config5(report, n_frames=300):
            frames_per_s_end_to_end=round(n_frames / dt, 2),
            end_to_end_wall_s=round(dt, 2), stage_s=round(stage_s, 2),
            carve_s=round(carve_s, 2), materialize_s=round(mat_s, 2),
+           # stage_s is relay transfer: frames_mb / stage_s lands at the
+           # tunnel's ~20-40 MB/s — the staging residual is link
+           # bandwidth, not host prep (frames are staged by the native
+           # codec straight into the device buffer layout)
+           frames_mb=round(warm.nbytes / 1e6, 1),
+           staging_mb_per_s=round(warm.nbytes / 1e6 / max(stage_s, 1e-9),
+                                  1),
            cpu_single_core_wall_s=round(cpu_total, 1))
 
 
