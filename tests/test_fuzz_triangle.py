@@ -68,6 +68,29 @@ def _vs_jax(case, use_pallas):
     return np.asarray(st.vs)[:, :w]
 
 
+def _vs_sharded(case):
+    """The column-sharded resize loop's visibility map (batch of 1 on
+    the virtual 8-device mesh), or None when the mesh is unavailable."""
+    import jax
+    if len(jax.devices()) < 8:
+        return None
+    from lqr_tpu.parallel.sharding import make_mesh, extend_map_sharded
+
+    img = case["img"]
+    h, w = img.shape[:2]
+    cfg = EngineConfig(H=h, Wb=128, C=img.shape[2],
+                       delta_x=case["delta_x"], nrg=case["nrg"],
+                       side_switch_freq=case["ssf"], use_pallas=False,
+                       has_bias=case["bias"] is not None,
+                       has_rig=case["rig"] is not None)
+    st = init_state(cfg, img, bias=case["bias"], rig=case["rig"])
+    stb = jax.tree.map(lambda x: jnp.asarray(x)[None], st)
+    mesh = make_mesh(8, data=1)
+    out = extend_map_sharded(mesh, cfg, stb,
+                             jnp.full((1,), case["n_seams"], jnp.int32))
+    return np.asarray(out.vs)[0, :, :w]
+
+
 def test_fuzz_oracle_triangle():
     rng = np.random.default_rng(20260819)
     n_cases = 52
@@ -102,6 +125,15 @@ def test_fuzz_oracle_triangle():
                 else:
                     os.environ["LQR_PALLAS_INTERPRET"] = prev
             assert np.array_equal(vs_pl, vs_cpp), f"Pallas vs C++: {tag}"
+
+        if i % 17 == 5:
+            # 5th leg (r5): the column-sharded resize loop on the
+            # virtual 8-device mesh — the shard-local energy/DP/
+            # backtrack/compact/commit must stay bit-equal across random
+            # masks, delta_x, side-switch and seam counts
+            vs_sh = _vs_sharded(case)
+            if vs_sh is not None:
+                assert np.array_equal(vs_sh, vs_cpp), f"sharded: {tag}"
 
 
 def test_fuzz_materialize_roundtrip():
