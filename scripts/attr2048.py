@@ -129,6 +129,21 @@ def main():
             engine._extend_hot(cfg, st, iters)),
         donate_argnums=0)
 
+    @jax.jit
+    def fused_step(b0, iters):
+        """fori of carve_step_pallas (XLA energy + fused
+        backtrack-with-compact) — re-measuring the r4 negative under the
+        r5 flat-loop conditions."""
+        z = jnp.zeros((H, Wb), jnp.float32)
+
+        def body(j, b):
+            pl_ = engine.pref_is_left(j + 1, cfg.side_switch_freq)
+            _, b2, _, _ = dp_pallas.carve_step_pallas(
+                b, z, z, w0, pl_, 1, False, False, cfg.nrg)
+            return b2
+        out = jax.lax.fori_loop(0, iters, body, b0)
+        return jnp.sum(out, dtype=jnp.float32)
+
     def fetch(x):
         return float(np.asarray(jax.device_get(x)))
 
@@ -149,6 +164,7 @@ def main():
         ("extend_nowhile", dict(state=True)),
         ("extend_nocommit", dict(state=True)),
         ("extend_donate",  dict(state=True)),
+        ("fused_step",     dict()),
     ]
     if sel:
         want = sel.split(",")
@@ -157,7 +173,7 @@ def main():
                hotchunk=hotchunk, extend=extend,
                extend_nowhile=extend_nowhile,
                extend_nocommit=extend_nocommit,
-               extend_donate=extend_donate)
+               extend_donate=extend_donate, fused_step=fused_step)
 
     for name, kw in variants:
         fn = fns[name]
