@@ -409,9 +409,17 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
     # Exact: shift_d distributes elementwise over min and +.
     KW = _FWD_KW
 
+    # rigidity in the wedge (r5): the rig term is ROW-LOCAL (off-chain)
+    # and distributes exactly over shifts — shift_d(shift_dx(M) + rt) =
+    # P[d+dx] + shift_d(rt) with rt = rig_row * rigc — so masked/rigidity
+    # configs get the same min,min,add chain as the plain path instead of
+    # the rank-based kernel's two chained cross-lane rolls per row.
+    rigc1 = cands[1][3] if delta_x >= 1 else np.float32(0)
+
     def chunk_fn_wedge(k, M_prev):
         base = k * CH
         e_chunk = e_ref[pl.ds(base, CH)]
+        rig_chunk = rig_ref[pl.ds(base, CH)] if has_rig else None
         first = (i == 0) & (k == 0)
         bps = []
         for blk in range(CH // KW):
@@ -421,7 +429,11 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
                 j = blk * KW + jj
                 e_row = e_chunk[j]
                 band = KW - 1 - jj
-                cm, c0, cp = P[-1], P[0], P[1]
+                if has_rig:
+                    rt = rig_chunk[j] * rigc1      # off-chain, row-local
+                    cm, c0, cp = P[-1] + rt, P[0], P[1] + rt
+                else:
+                    cm, c0, cp = P[-1], P[0], P[1]
                 best = jnp.minimum(jnp.minimum(c0, cm), cp)
                 eq0 = c0 == best
                 eqm = cm == best
@@ -442,8 +454,16 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
                     if d == 0:
                         continue
                     e_sh = _shift_folded(e_row, d, inf, f, L)
-                    m3 = jnp.minimum(jnp.minimum(P[d], P[d - 1]),
-                                     P[d + 1])
+                    if has_rig:
+                        # fill 0: edge lanes are dominated by P's inf
+                        rt_sh = _shift_folded(rt, d, jnp.float32(0), f,
+                                              L)
+                        m3 = jnp.minimum(
+                            jnp.minimum(P[d], P[d - 1] + rt_sh),
+                            P[d + 1] + rt_sh)
+                    else:
+                        m3 = jnp.minimum(jnp.minimum(P[d], P[d - 1]),
+                                         P[d + 1])
                     if row0:
                         m3 = jnp.where(first, jnp.float32(0), m3)
                     newP[d] = e_sh + m3
@@ -453,8 +473,7 @@ def _dpf_kernel(pl_ref, e_ref, rig_ref, m_ref, bp_ref, frontier, *, BR,
         bp_ref[pl.ds(base, CH)] = jnp.stack(bps).astype(_BP_DT)
         return M_prev
 
-    use_wedge = (delta_x == 1 and not has_rig and CH % KW == 0
-                 and _FWD_WEDGE)
+    use_wedge = (delta_x == 1 and CH % KW == 0 and _FWD_WEDGE)
     body = chunk_fn_wedge if use_wedge else chunk_fn
     M_final = jax.lax.fori_loop(0, BR // CH, body, frontier[:, :])
     frontier[:, :] = M_final

@@ -83,6 +83,26 @@ def test_pallas_folded_path():
     assert np.array_equal(ref, got)
 
 
+def test_pallas_rig_wedge_delta1():
+    """delta_x=1 WITH rigidity rides the forward wedge since r5 (the rig
+    term is row-local and distributes exactly over shifts); must stay
+    bit-identical to the scan DP including ties and both preferences."""
+    rng = np.random.default_rng(33)
+    H, W, Wb = 32, 1000, 1024
+    e = _random_energy(rng, H, W, Wb)
+    rig = np.zeros((H, Wb), np.float32)
+    rig[:, :W] = np.round(
+        np.abs(rng.standard_normal((H, W))) * 4) / 4 * 30
+    from lqr_tpu.ops.dp_pallas import _fold_factor
+    assert _fold_factor(Wb) > 1
+    for pref in (True, False):
+        ref = np.asarray(jdp.find_seam(jnp.asarray(e), jnp.asarray(rig),
+                                       jnp.bool_(pref), 1, True))
+        got = np.asarray(dp_pallas.find_seam_pallas(
+            jnp.asarray(e), jnp.asarray(rig), jnp.bool_(pref), 1, True))
+        assert np.array_equal(ref, got), pref
+
+
 def test_pallas_folded_ragged_rows():
     """H > 128 and H not a multiple of 8 (e.g. 300): _row_block returns H,
     the 128 cap leaves H % BR = 44 remainder rows, and the grid of H // BR
