@@ -218,7 +218,7 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
     # wedge fwd sweep (see wedge_rows; default ON where it applies —
     # measured 34.4 -> 15.7 us/seam fwd at 512x384); KW rows per block
     KW = _KW
-    use_wedge = _USE_WEDGE and delta_x == 1 and not has_rig and CH % KW == 0
+    use_wedge = _USE_WEDGE and delta_x == 1 and CH % KW == 0
 
     # loop-constant index maps: per-row geometry for single rows (f, L)
     # and for CH-row stacks (CH*f, L)
@@ -239,7 +239,7 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                 cp.start()
                 cp.wait()
 
-    def wedge_rows(e_tot, M_in, pref_left, first_chunk: bool):
+    def wedge_rows(e_tot, rig_st, M_in, pref_left, first_chunk: bool):
         """CH rows of DP via KW-row WEDGES — the roll-free chain.
 
         Measured on v5e: a chained cross-lane roll costs ~50-70 ns of
@@ -255,7 +255,13 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
         states feed the same backpointer eqs as the per-row path.
         The band shrinks by 1 per row (only |d| <= KW-1-j matter), so a
         KW-block costs KW^2-ish extra e-shift issue — cheap vs the
-        removed roll latency. Requires delta_x == 1, no rigmask."""
+        removed roll latency. Requires delta_x == 1.
+
+        Rigidity (r5): the rig term is ROW-LOCAL (off-chain) and
+        distributes exactly over shifts — shift_d(P[dx] + rt) =
+        P[d+dx] + shift_d(rt) — so masked configs keep the min,min,add
+        chain (same algebra as dp_pallas's streamed wedge)."""
+        rigc1 = cands[1][3]
         bps = []
         M_prev = M_in
         nblk = CH // KW
@@ -275,7 +281,12 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                     bps.append(jnp.zeros((f, L), jnp.int32))
                     continue
                 newP = {}
-                cm, c0, cp = P[-1], P[0], P[1]
+                if has_rig:
+                    rt = jax.lax.slice_in_dim(
+                        rig_st, j * f, (j + 1) * f, axis=0) * rigc1
+                    cm, c0, cp = P[-1] + rt, P[0], P[1] + rt
+                else:
+                    cm, c0, cp = P[-1], P[0], P[1]
                 best = jnp.minimum(jnp.minimum(c0, cm), cp)
                 eq0 = c0 == best
                 eqm = cm == best
@@ -292,8 +303,15 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
                     if d == 0:
                         continue
                     e_sh = _shift_folded(e_row, d, inf, f, L)
-                    newP[d] = e_sh + jnp.minimum(
-                        jnp.minimum(P[d], P[d - 1]), P[d + 1])
+                    if has_rig:
+                        # fill 0: edge lanes are dominated by P's inf
+                        rt_sh = _shift_folded(rt, d, jnp.float32(0), f, L)
+                        newP[d] = e_sh + jnp.minimum(
+                            jnp.minimum(P[d], P[d - 1] + rt_sh),
+                            P[d + 1] + rt_sh)
+                    else:
+                        newP[d] = e_sh + jnp.minimum(
+                            jnp.minimum(P[d], P[d - 1]), P[d + 1])
                 P = newP
             M_prev = P[0]
         return M_prev, bps
@@ -344,7 +362,8 @@ def _kernel(*refs, KC, delta_x, has_bias, has_rig, nrg, ssf, H, f, L,
         # vs 7 for the naive shift (sub-roll, select, roll, edge-fill
         # before the mins even start).
         if use_wedge:
-            M_prev, bps = wedge_rows(e_tot, M_in, pref_left, first_chunk)
+            M_prev, bps = wedge_rows(e_tot, rig_st, M_in, pref_left,
+                                     first_chunk)
             bp_scr[pl.ds(base_v, CH * f)] = \
                 jnp.concatenate(bps, axis=0).astype(jnp.int8)
             return M_prev, bst[(CH - 1) * f:]
